@@ -1,0 +1,103 @@
+"""Triangulation — batched DLT, midpoint, and masked N-view variants.
+
+TPU-native counterpart of the reference's triangulators
+(ref: src/aliceVision/multiview/triangulation/triangulationDLT.hpp,
+Triangulation.hpp:105 N-view iterative, NViewsTriangulationLORansac.hpp:48).
+All functions are pure, shape-static, vmap/jit friendly; N-view uses a fixed
+observation capacity with a validity mask instead of dynamic lists.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def triangulate_dlt(P1: jnp.ndarray, P2: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Two-view DLT. P: (..., 3, 4) projection matrices, x: (..., 2) pixels.
+
+    Returns euclidean points (..., 3). Solved via SVD of the 4x4 design
+    matrix (smallest right singular vector), batched.
+    """
+    rows = jnp.stack(
+        [
+            x1[..., 0, None] * P1[..., 2, :] - P1[..., 0, :],
+            x1[..., 1, None] * P1[..., 2, :] - P1[..., 1, :],
+            x2[..., 0, None] * P2[..., 2, :] - P2[..., 0, :],
+            x2[..., 1, None] * P2[..., 2, :] - P2[..., 1, :],
+        ],
+        axis=-2,
+    )  # (..., 4, 4)
+    X = _smallest_right_singular(rows)
+    return X[..., :3] / jnp.where(jnp.abs(X[..., 3:]) < _EPS, _EPS, X[..., 3:])
+
+
+def triangulate_nview(
+    P: jnp.ndarray, x: jnp.ndarray, mask: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Masked N-view DLT.
+
+    P: (..., K, 3, 4) per-view projections, x: (..., K, 2) pixels,
+    mask: (..., K) bool validity. Invalid rows are zeroed (contribute
+    nothing to the normal equations). Solved via eigendecomposition of
+    A^T A (4x4), which is cheap and batches trivially on the MXU.
+    """
+    r0 = x[..., 0, None] * P[..., 2, :] - P[..., 0, :]  # (..., K, 4)
+    r1 = x[..., 1, None] * P[..., 2, :] - P[..., 1, :]
+    A = jnp.concatenate([r0, r1], axis=-2)  # (..., 2K, 4)
+    if mask is not None:
+        m2 = jnp.concatenate([mask, mask], axis=-1).astype(A.dtype)
+        A = A * m2[..., None]
+    # Row-norm balancing improves conditioning in f32.
+    norm = jnp.linalg.norm(A, axis=-1, keepdims=True)
+    A = A / jnp.maximum(norm, _EPS)
+    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
+    w, V = jnp.linalg.eigh(AtA)
+    X = V[..., :, 0]  # eigenvector of smallest eigenvalue
+    return X[..., :3] / jnp.where(jnp.abs(X[..., 3:]) < _EPS, _EPS, X[..., 3:])
+
+
+def triangulate_midpoint(
+    centers: jnp.ndarray, rays: jnp.ndarray, mask: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """N-view midpoint: least-squares point closest to all rays.
+
+    centers: (..., K, 3) camera centers, rays: (..., K, 3) unit directions in
+    world frame. Solves sum_k (I - d d^T)(X - c) = 0.
+    """
+    d = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True).clip(_EPS)
+    eye = jnp.eye(3, dtype=d.dtype)
+    Pk = eye - d[..., :, None] * d[..., None, :]  # (..., K, 3, 3)
+    if mask is not None:
+        Pk = Pk * mask[..., None, None].astype(d.dtype)
+    A = jnp.sum(Pk, axis=-3)
+    b = jnp.sum(jnp.einsum("...kij,...kj->...ki", Pk, centers), axis=-2)
+    # Solve 3x3 with Tikhonov guard for degenerate (parallel-ray) cases.
+    A = A + 1e-9 * eye
+    return jnp.linalg.solve(A, b[..., :, None])[..., 0]
+
+
+def _smallest_right_singular(A: jnp.ndarray) -> jnp.ndarray:
+    """Right singular vector of the smallest singular value via eigh(A^T A)."""
+    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
+    _, V = jnp.linalg.eigh(AtA)
+    return V[..., :, 0]
+
+
+def reprojection_errors(
+    P: jnp.ndarray, x: jnp.ndarray, X: jnp.ndarray
+) -> jnp.ndarray:
+    """Pixel reprojection error of points X (..., 3) in views P (..., K, 3, 4)
+    against observations x (..., K, 2). Returns (..., K)."""
+    Xh = jnp.concatenate([X, jnp.ones_like(X[..., :1])], axis=-1)
+    proj = jnp.einsum("...kij,...j->...ki", P, Xh)
+    z = proj[..., 2:]
+    uv = proj[..., :2] / jnp.where(jnp.abs(z) < _EPS, _EPS, z)
+    return jnp.linalg.norm(uv - x, axis=-1)
+
+
+def depths(P: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
+    """Projective depth of X (..., 3) in views P (..., K, 3, 4) -> (..., K)."""
+    Xh = jnp.concatenate([X, jnp.ones_like(X[..., :1])], axis=-1)
+    return jnp.einsum("...kj,...j->...k", P[..., 2, :], Xh)
