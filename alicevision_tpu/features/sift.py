@@ -1,0 +1,410 @@
+"""SIFT / DSP-SIFT feature extraction as batched XLA compute.
+
+TPU-native re-design of the reference's VLFeat-backed describers
+(ref: src/aliceVision/feature/sift/SIFT.hpp:35-60 params,
+ImageDescriber_DSPSIFT_vlfeat.cpp:71-148 detection + :304-311 domain-size
+pooling; vendored DoG code src/nonFree/sift/vl/sift.c). The virtual
+ImageDescriber hierarchy becomes pure functions over fixed-capacity arrays:
+
+  * Gaussian scale-space + DoG per octave (separable convs, static shapes);
+  * extrema = 26-neighbour comparisons via shifted-array min/max (VPU);
+  * subpixel refinement by one 3x3 Hessian solve per candidate (batched);
+  * fixed keypoint budget: top-K by |DoG| response across all octaves with a
+    validity mask — replaces data-dependent keypoint lists;
+  * orientation from a 36-bin gradient histogram over a gathered patch;
+  * descriptor: 4x4x8 trilinear binning over a rotated resampled grid,
+    normalized / clipped (0.2) / renormalized, optional rootSIFT
+    (SIFT.hpp:80-100) and uint8 quantization (x512);
+  * DSP-SIFT: descriptors averaged over `dsp_n_scales` domain sizes in
+    [dsp_min, dsp_max] x detection scale before normalization.
+
+Default operating point mirrors the reference: 3 scales/octave, peak
+threshold 0.005 (scaled by 0.04/3 convention), edge threshold 10,
+max 10000 keypoints.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..image.filtering import (
+    bilinear_sample,
+    downsample2,
+    gaussian_blur,
+    upsample2,
+)
+
+
+class SiftConfig(NamedTuple):
+    max_keypoints: int = 10000
+    n_octaves: int = 4
+    n_scales: int = 3  # scales per octave (S); S+3 gaussian, S+2 DoG levels
+    first_octave: int = 0  # -1 = upsample input 2x first
+    peak_threshold: float = 0.005  # on DoG, relative contrast
+    edge_threshold: float = 10.0
+    sigma0: float = 1.6  # base blur of octave 0
+    init_sigma: float = 0.5  # assumed blur of the input image
+    root_sift: bool = True
+    # DSP pooling (ImageDescriber_DSPSIFT_vlfeat.hpp:29-31)
+    dsp: bool = False
+    dsp_n_scales: int = 10
+    dsp_min: float = 1.0 / 6.0
+    dsp_max: float = 3.0
+    # descriptor geometry
+    n_spatial_bins: int = 4
+    n_ori_bins: int = 8
+    magnif: float = 3.0  # bin size in units of keypoint scale
+    patch_grid: int = 16  # resampled grid (G x G) covering the window
+
+
+class SiftFeatures(NamedTuple):
+    xy: jnp.ndarray  # (N, 2) pixel coords in the input image
+    scale: jnp.ndarray  # (N,) blur scale (sigma, input-image units)
+    orientation: jnp.ndarray  # (N,) radians
+    response: jnp.ndarray  # (N,) |DoG| response
+    desc: jnp.ndarray  # (N, 128) float32 (normalized) — quantize separately
+    valid: jnp.ndarray  # (N,) bool
+
+
+# ---------------------------------------------------------------------------
+# Scale space
+# ---------------------------------------------------------------------------
+
+
+def build_scale_space(img: jnp.ndarray, cfg: SiftConfig):
+    """Gaussian pyramid: list over octaves of (S+3, H_o, W_o) stacks, plus the
+    per-octave sampling step relative to the input image."""
+    S = cfg.n_scales
+    k = 2.0 ** (1.0 / S)
+    base = img
+    step0 = 1.0
+    if cfg.first_octave == -1:
+        base = upsample2(img)
+        step0 = 0.5
+
+    # Bring the base image to sigma0 blur.
+    cur_sigma = cfg.init_sigma / step0
+    if cfg.sigma0 > cur_sigma:
+        base = gaussian_blur(base, math.sqrt(cfg.sigma0**2 - cur_sigma**2))
+
+    octaves = []
+    steps = []
+    for o in range(cfg.n_octaves):
+        levels = [base]
+        sigma_prev = cfg.sigma0
+        for s in range(1, S + 3):
+            sigma_target = cfg.sigma0 * (k**s)
+            dsigma = math.sqrt(sigma_target**2 - sigma_prev**2)
+            levels.append(gaussian_blur(levels[-1], dsigma))
+            sigma_prev = sigma_target
+        octaves.append(jnp.stack(levels))  # (S+3, H, W)
+        steps.append(step0 * (2.0**o))
+        # Next octave starts from the level with blur 2*sigma0 (index S).
+        base = downsample2(levels[S])
+    return octaves, steps
+
+
+# ---------------------------------------------------------------------------
+# Extrema detection per octave
+# ---------------------------------------------------------------------------
+
+
+def _detect_octave(gauss: jnp.ndarray, step: float, cfg: SiftConfig, k_budget: int):
+    """Detect + refine extrema in one octave.
+
+    gauss: (S+3, H, W). Returns fixed-size candidate set:
+      xy (K, 2) input-image coords, scale (K,), response (K,), level (K,)
+      valid (K,), patch coords in octave units for later sampling.
+    """
+    S = cfg.n_scales
+    dog = gauss[1:] - gauss[:-1]  # (S+2, H, W)
+    D, H, W = dog.shape
+
+    # 26-neighbour max/min via shifted arrays on the 3 interior scales.
+    def shift2(a, dy, dx):
+        return jnp.roll(jnp.roll(a, dy, axis=-2), dx, axis=-1)
+
+    center = dog[1:-1]  # (S, H, W)
+    neigh_max = jnp.full_like(center, -jnp.inf)
+    neigh_min = jnp.full_like(center, jnp.inf)
+    for ds in (-1, 0, 1):
+        lvl = dog[1 + ds : 1 + ds + S]
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if ds == 0 and dy == 0 and dx == 0:
+                    continue
+                sh = shift2(lvl, dy, dx)
+                neigh_max = jnp.maximum(neigh_max, sh)
+                neigh_min = jnp.minimum(neigh_min, sh)
+
+    thr = cfg.peak_threshold
+    is_max = (center > neigh_max) & (center > thr)
+    is_min = (center < neigh_min) & (center < -thr)
+    cand = is_max | is_min
+
+    # Edge rejection: ratio of principal curvatures of the 2x2 spatial Hessian.
+    dxx = shift2(center, 0, 1) + shift2(center, 0, -1) - 2 * center
+    dyy = shift2(center, 1, 0) + shift2(center, -1, 0) - 2 * center
+    dxy = 0.25 * (
+        shift2(center, 1, 1)
+        + shift2(center, -1, -1)
+        - shift2(center, 1, -1)
+        - shift2(center, -1, 1)
+    )
+    tr = dxx + dyy
+    det = dxx * dyy - dxy * dxy
+    r = cfg.edge_threshold
+    edge_ok = (det > 0) & (tr * tr * r < (r + 1.0) ** 2 * det)
+    cand = cand & edge_ok
+
+    # Exclude a border margin.
+    yy = jnp.arange(H)[None, :, None]
+    xx = jnp.arange(W)[None, None, :]
+    b = 5
+    cand = cand & (yy >= b) & (yy < H - b) & (xx >= b) & (xx < W - b)
+
+    resp = jnp.abs(center)
+    score = jnp.where(cand, resp, 0.0).reshape(-1)
+    vals, flat_idx = jax.lax.top_k(score, k_budget)
+    valid = vals > 0.0
+
+    s_idx = flat_idx // (H * W)  # 0..S-1 (interior DoG level - 1)
+    rem = flat_idx % (H * W)
+    y_idx = rem // W
+    x_idx = rem % W
+
+    # Subpixel refinement: 3D quadratic fit about each candidate.
+    def fit(si, yi, xi):
+        # 3x3x3 neighbourhood values from dog (level si+1 is the center).
+        def val(ds, dy, dx):
+            return dog[si + 1 + ds, yi + dy, xi + dx]
+
+        g = jnp.stack(
+            [
+                0.5 * (val(0, 0, 1) - val(0, 0, -1)),
+                0.5 * (val(0, 1, 0) - val(0, -1, 0)),
+                0.5 * (val(1, 0, 0) - val(-1, 0, 0)),
+            ]
+        )
+        hxx = val(0, 0, 1) + val(0, 0, -1) - 2 * val(0, 0, 0)
+        hyy = val(0, 1, 0) + val(0, -1, 0) - 2 * val(0, 0, 0)
+        hss = val(1, 0, 0) + val(-1, 0, 0) - 2 * val(0, 0, 0)
+        hxy = 0.25 * (val(0, 1, 1) + val(0, -1, -1) - val(0, 1, -1) - val(0, -1, 1))
+        hxs = 0.25 * (val(1, 0, 1) + val(-1, 0, -1) - val(1, 0, -1) - val(-1, 0, 1))
+        hys = 0.25 * (val(1, 1, 0) + val(-1, -1, 0) - val(1, -1, 0) - val(-1, 1, 0))
+        Hm = jnp.array([[hxx, hxy, hxs], [hxy, hyy, hys], [hxs, hys, hss]])
+        off = -jnp.linalg.solve(Hm + 1e-8 * jnp.eye(3), g)
+        off = jnp.clip(off, -0.6, 0.6)
+        d_hat = val(0, 0, 0) + 0.5 * jnp.dot(g, off)
+        return off, d_hat
+
+    offs, d_hat = jax.vmap(fit)(s_idx, y_idx, x_idx)
+    valid = valid & (jnp.abs(d_hat) > thr)
+
+    x_o = x_idx.astype(jnp.float32) + offs[:, 0]
+    y_o = y_idx.astype(jnp.float32) + offs[:, 1]
+    s_o = s_idx.astype(jnp.float32) + 1.0 + offs[:, 2]  # gaussian level coords
+
+    k = 2.0 ** (1.0 / S)
+    sigma_oct = cfg.sigma0 * (k**s_o)  # octave units
+    xy = jnp.stack([x_o, y_o], axis=-1) * step  # input-image coords
+    sigma = sigma_oct * step
+    level = jnp.clip(jnp.round(s_o).astype(jnp.int32), 0, S + 2)
+    return xy, sigma, jnp.abs(d_hat), level, valid, (x_o, y_o, sigma_oct)
+
+
+# ---------------------------------------------------------------------------
+# Orientation + descriptor from gathered patches
+# ---------------------------------------------------------------------------
+
+
+def _gather_rotated_patch(img, cx, cy, spacing, angle, G):
+    """Resample a (G+2)x(G+2) grid centered at (cx, cy), rotated by angle,
+    with the given spacing (octave pixels per grid step)."""
+    g = jnp.arange(G + 2, dtype=jnp.float32) - (G + 1) / 2.0
+    gy, gx = jnp.meshgrid(g, g, indexing="ij")
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    sx = spacing * (ca * gx - sa * gy) + cx
+    sy = spacing * (sa * gx + ca * gy) + cy
+    return bilinear_sample(img, jnp.stack([sx, sy], axis=-1))
+
+
+def _orientation(img, cx, cy, sigma_oct):
+    """Dominant gradient orientation (VLFeat-style 36-bin histogram)."""
+    G = 16
+    win = 3.0 * 1.5 * sigma_oct  # window radius
+    spacing = 2.0 * win / G
+    patch = _gather_rotated_patch(img, cx, cy, spacing, 0.0, G)
+    gx = 0.5 * (patch[1:-1, 2:] - patch[1:-1, :-2])
+    gy = 0.5 * (patch[2:, 1:-1] - patch[:-2, 1:-1])
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    ang = jnp.arctan2(gy, gx)  # [-pi, pi)
+
+    g = jnp.arange(G, dtype=jnp.float32) - (G - 1) / 2.0
+    yy, xx = jnp.meshgrid(g, g, indexing="ij")
+    r2 = (xx * xx + yy * yy) * spacing**2
+    w = jnp.exp(-r2 / (2.0 * (1.5 * sigma_oct) ** 2)) * mag
+
+    nb = 36
+    bin_f = (ang + jnp.pi) / (2 * jnp.pi) * nb
+    b0 = jnp.floor(bin_f).astype(jnp.int32) % nb
+    hist = jnp.zeros((nb,)).at[b0.reshape(-1)].add(w.reshape(-1))
+    # Circular smoothing (6 passes of [1,1,1]/3 like VLFeat).
+    for _ in range(6):
+        hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+    bmax = jnp.argmax(hist)
+    # Parabolic interpolation of the peak.
+    hl = hist[(bmax - 1) % nb]
+    hc = hist[bmax]
+    hr = hist[(bmax + 1) % nb]
+    denom = hl - 2 * hc + hr
+    off = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (hl - hr) / denom, 0.0)
+    theta = (bmax.astype(jnp.float32) + off + 0.5) / nb * 2 * jnp.pi - jnp.pi
+    return theta
+
+
+def _descriptor_raw(img, cx, cy, sigma_oct, angle, cfg: SiftConfig):
+    """Unnormalized 128-dim descriptor (trilinear binning, Gaussian weight)."""
+    NBP = cfg.n_spatial_bins
+    NBO = cfg.n_ori_bins
+    G = cfg.patch_grid
+    win = cfg.magnif * sigma_oct * NBP / 2.0  # half-size of the window
+    spacing = 2.0 * win / G
+    patch = _gather_rotated_patch(img, cx, cy, spacing, angle, G)
+    gx = 0.5 * (patch[1:-1, 2:] - patch[1:-1, :-2])
+    gy = 0.5 * (patch[2:, 1:-1] - patch[:-2, 1:-1])
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    ang = jnp.arctan2(gy, gx) - angle  # gradient angle relative to keypoint
+
+    g = (jnp.arange(G, dtype=jnp.float32) + 0.5) / G  # (0, 1)
+    yy, xx = jnp.meshgrid(g, g, indexing="ij")
+    # Gaussian window over the whole descriptor support.
+    r2 = (xx - 0.5) ** 2 + (yy - 0.5) ** 2
+    wg = jnp.exp(-r2 / (2.0 * 0.25**2)) * mag
+
+    # Continuous bin coords in [0, NBP).
+    bx = xx * NBP - 0.5
+    by = yy * NBP - 0.5
+    bo = (ang % (2 * jnp.pi)) / (2 * jnp.pi) * NBO
+
+    def tri(coord, nbins, wrap):
+        c0 = jnp.floor(coord)
+        f = coord - c0
+        i0 = c0.astype(jnp.int32)
+        i1 = i0 + 1
+        if wrap:
+            i0 = i0 % nbins
+            i1 = i1 % nbins
+            ok0 = jnp.ones_like(f, bool)
+            ok1 = jnp.ones_like(f, bool)
+        else:
+            ok0 = (i0 >= 0) & (i0 < nbins)
+            ok1 = (i1 >= 0) & (i1 < nbins)
+            i0 = jnp.clip(i0, 0, nbins - 1)
+            i1 = jnp.clip(i1, 0, nbins - 1)
+        return (i0, (1 - f) * ok0), (i1, f * ok1)
+
+    acc = jnp.zeros((NBP, NBP, NBO))
+    for iy, wy in tri(by, NBP, False):
+        for ix, wx in tri(bx, NBP, False):
+            for io, wo in tri(bo, NBO, True):
+                wfull = wg * wy * wx * wo
+                acc = acc.at[iy.reshape(-1), ix.reshape(-1), io.reshape(-1)].add(
+                    wfull.reshape(-1)
+                )
+    return acc.reshape(-1)  # (128,)
+
+
+def _normalize_desc(d, cfg: SiftConfig):
+    d = d / jnp.linalg.norm(d).clip(1e-12)
+    d = jnp.minimum(d, 0.2)
+    d = d / jnp.linalg.norm(d).clip(1e-12)
+    if cfg.root_sift:
+        d = jnp.sqrt(d / jnp.sum(d).clip(1e-12))
+    return d
+
+
+# ---------------------------------------------------------------------------
+# Full extraction
+# ---------------------------------------------------------------------------
+
+
+def extract(img: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> SiftFeatures:
+    """Extract SIFT features from a grayscale image (H, W) in [0, 1].
+
+    Returns fixed-capacity arrays of cfg.max_keypoints with a validity mask.
+    """
+    octaves, steps = build_scale_space(img, cfg)
+    per_oct_budget = max(256, cfg.max_keypoints // max(1, len(octaves)))
+
+    all_xy, all_sigma, all_resp, all_valid = [], [], [], []
+    all_theta, all_desc = [], []
+
+    for gauss, step in zip(octaves, steps):
+        xy, sigma, resp, level, valid, (x_o, y_o, sig_o) = _detect_octave(
+            gauss, step, cfg, per_oct_budget
+        )
+
+        # Per-keypoint orientation + descriptor on its gaussian level.
+        def per_kp(level_i, x_i, y_i, sig_i):
+            lvl_img = gauss[level_i]
+            theta = _orientation(lvl_img, x_i, y_i, sig_i)
+            if cfg.dsp:
+                scales = jnp.linspace(cfg.dsp_min, cfg.dsp_max, cfg.dsp_n_scales)
+                descs = jax.vmap(
+                    lambda s: _descriptor_raw(lvl_img, x_i, y_i, sig_i * s, theta, cfg)
+                )(scales)
+                d = jnp.mean(descs, axis=0)
+            else:
+                d = _descriptor_raw(lvl_img, x_i, y_i, sig_i, theta, cfg)
+            return theta, _normalize_desc(d, cfg)
+
+        theta, desc = jax.vmap(per_kp)(level, x_o, y_o, sig_o)
+
+        all_xy.append(xy)
+        all_sigma.append(sigma)
+        all_resp.append(resp)
+        all_valid.append(valid)
+        all_theta.append(theta)
+        all_desc.append(desc)
+
+    xy = jnp.concatenate(all_xy)
+    sigma = jnp.concatenate(all_sigma)
+    resp = jnp.concatenate(all_resp)
+    valid = jnp.concatenate(all_valid)
+    theta = jnp.concatenate(all_theta)
+    desc = jnp.concatenate(all_desc)
+
+    # Global top-K by response among valid candidates.
+    N = cfg.max_keypoints
+    score = jnp.where(valid, resp, -1.0)
+    _, top = jax.lax.top_k(score, min(N, score.shape[0]))
+    pad = N - top.shape[0]
+
+    def take(a):
+        t = a[top]
+        if pad > 0:
+            t = jnp.concatenate([t, jnp.zeros((pad,) + t.shape[1:], t.dtype)])
+        return t
+
+    return SiftFeatures(
+        xy=take(xy),
+        scale=take(sigma),
+        orientation=take(theta),
+        response=take(resp),
+        desc=take(desc),
+        valid=take(valid.astype(jnp.float32)) > 0.5,
+    )
+
+
+extract_jit = jax.jit(extract, static_argnums=(1,))
+
+
+def quantize_desc(desc: jnp.ndarray) -> jnp.ndarray:
+    """Float descriptor -> uint8 (x512, clipped), the reference's convention."""
+    return jnp.clip(desc * 512.0, 0, 255).astype(jnp.uint8)

@@ -1,0 +1,105 @@
+"""Image filtering primitives: separable Gaussian, gradients, resampling.
+
+TPU-native counterpart of the reference's image convolution/resampling
+(ref: src/aliceVision/image/convolution.cpp, resampling.hpp). Everything
+operates on (..., H, W) float arrays and compiles to XLA convolutions that
+fuse well; kernels are static-shape (radius fixed at trace time).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def gaussian_kernel_1d(sigma: float, radius: int | None = None) -> jnp.ndarray:
+    if radius is None:
+        radius = max(1, int(math.ceil(3.0 * sigma)))
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def _conv_1d(img: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Convolve along one spatial axis with edge replication ('SAME')."""
+    r = (kernel.shape[0] - 1) // 2
+    pads = [(0, 0)] * img.ndim
+    pads[axis] = (r, r)
+    padded = jnp.pad(img, pads, mode="edge")
+    # Move target axis last, flatten the rest into a batch.
+    moved = jnp.moveaxis(padded, axis, -1)
+    lead = moved.shape[:-1]
+    flat = moved.reshape(-1, 1, moved.shape[-1])  # (N, C=1, W)
+    out = jax.lax.conv_general_dilated(
+        flat,
+        kernel[None, None, :],  # (O=1, I=1, K)
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    out = out.reshape(lead + (out.shape[-1],))
+    return jnp.moveaxis(out, -1, axis)
+
+
+def gaussian_blur(img: jnp.ndarray, sigma: float, radius: int | None = None) -> jnp.ndarray:
+    """Separable Gaussian blur on (..., H, W)."""
+    if sigma <= 0:
+        return img
+    k = gaussian_kernel_1d(sigma, radius)
+    out = _conv_1d(img, k, axis=-1)
+    return _conv_1d(out, k, axis=-2)
+
+
+def downsample2(img: jnp.ndarray) -> jnp.ndarray:
+    """Decimate by 2 (every other pixel), matching scale-space conventions."""
+    return img[..., ::2, ::2]
+
+
+def upsample2(img: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear 2x upsample of (..., H, W)."""
+    h, w = img.shape[-2], img.shape[-1]
+    return jax.image.resize(img, img.shape[:-2] + (2 * h, 2 * w), method="bilinear")
+
+
+def gradients(img: jnp.ndarray):
+    """Central-difference gradients (gx, gy) on (..., H, W)."""
+    gx = 0.5 * (jnp.roll(img, -1, axis=-1) - jnp.roll(img, 1, axis=-1))
+    gy = 0.5 * (jnp.roll(img, -1, axis=-2) - jnp.roll(img, 1, axis=-2))
+    return gx, gy
+
+
+def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray, fill: float = 0.0) -> jnp.ndarray:
+    """Sample img (H, W) at continuous xy (..., 2) = (x, y) pixel coords."""
+    H, W = img.shape[-2], img.shape[-1]
+    x = xy[..., 0]
+    y = xy[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        inside = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        v = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+        return jnp.where(inside, v, fill)
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+def to_grayscale(rgb: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W, 3) -> (..., H, W) using Rec.601 weights (matches OIIO)."""
+    w = jnp.array([0.299, 0.587, 0.114], rgb.dtype)
+    return jnp.einsum("...c,c->...", rgb, w)

@@ -1,0 +1,112 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alicevision_tpu import camera as cam
+from alicevision_tpu import geometry as geo
+from alicevision_tpu.sfm import ba
+from alicevision_tpu.utils.synthetic import ring_scene
+
+
+def _make_problem(noise_pose=0.02, noise_pt=0.05, noise_px=0.0, n_views=8, n_points=120,
+                  fix_first=True, seed=1):
+    scene = ring_scene(n_views=n_views, n_points=n_points, noise_px=noise_px, seed=0)
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    # perturb poses (keep first two fixed for gauge)
+    dw = noise_pose * jax.random.normal(k1, (n_views, 3))
+    dc = noise_pose * jax.random.normal(k2, (n_views, 3))
+    fixed = jnp.arange(n_views) < (2 if fix_first else 0)
+    dw = jnp.where(fixed[:, None], 0.0, dw)
+    dc = jnp.where(fixed[:, None], 0.0, dc)
+    R0 = geo.so3_exp(dw) @ scene.poses.R
+    q0 = geo.mat_to_quat(R0)
+    c0 = scene.poses.c + dc
+    X0 = scene.points + noise_pt * jax.random.normal(k3, scene.points.shape)
+
+    vis = np.asarray(scene.visible)
+    o_lm, o_cam, o_uv = [], [], []
+    for v in range(n_views):
+        for l in np.nonzero(vis[v])[0]:
+            o_lm.append(l)
+            o_cam.append(v)
+            o_uv.append(np.asarray(scene.observations[v, l]))
+    intr = jax.tree_util.tree_map(lambda a: a[None], scene.intrinsics)
+    problem = ba.build_problem(
+        q0, c0, X0, intr,
+        np.array(o_lm), np.array(o_cam), np.zeros(len(o_lm), np.int32),
+        np.array(o_uv), max_track=n_views,
+        cam_fixed=np.asarray(fixed),
+    )
+    return scene, problem
+
+
+def test_ba_converges_to_gt():
+    scene, problem = _make_problem()
+    res = ba.ba_solve(problem, max_iters=25)
+    assert float(res.cost_final) < float(res.cost_initial) * 1e-3
+    rms = ba.rms_reprojection_error(problem, res.cam_q, res.cam_c, res.points)
+    assert float(rms) < 0.05  # px
+
+    # poses recover GT (gauge fixed by 2 held cameras)
+    R_est = geo.quat_to_mat(res.cam_q)
+    for v in range(8):
+        ang = float(jnp.linalg.norm(geo.so3_log(R_est[v] @ scene.poses.R[v].T)))
+        assert ang < 2e-3, (v, ang)
+        assert float(jnp.linalg.norm(res.cam_c[v] - scene.poses.c[v])) < 5e-3
+
+
+def test_ba_noisy_observations():
+    scene, problem = _make_problem(noise_px=0.5)
+    res = ba.ba_solve(problem, max_iters=25)
+    rms = ba.rms_reprojection_error(problem, res.cam_q, res.cam_c, res.points)
+    assert float(rms) < 1.0  # consistent with 0.5px noise
+    # camera centers still close
+    err = float(jnp.max(jnp.linalg.norm(res.cam_c - scene.poses.c, axis=-1)))
+    assert err < 0.02
+
+
+def test_ba_respects_fixed_cameras():
+    scene, problem = _make_problem()
+    res = ba.ba_solve(problem, max_iters=10)
+    np.testing.assert_allclose(
+        np.asarray(res.cam_q[:2]), np.asarray(problem.cam_q[:2]), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.cam_c[:2]), np.asarray(problem.cam_c[:2]), atol=1e-7
+    )
+
+
+def test_ba_with_distortion():
+    scene = ring_scene(
+        n_views=6, n_points=80,
+        disto_kind=cam.DISTO_RADIALK3, disto_params=(-0.15, 0.02, -0.001),
+        seed=0,
+    )
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    X0 = scene.points + 0.03 * jax.random.normal(k1, scene.points.shape)
+    vis = np.asarray(scene.visible)
+    o_lm, o_cam, o_uv = [], [], []
+    for v in range(6):
+        for l in np.nonzero(vis[v])[0]:
+            o_lm.append(l); o_cam.append(v); o_uv.append(np.asarray(scene.observations[v, l]))
+    intr = jax.tree_util.tree_map(lambda a: a[None], scene.intrinsics)
+    problem = ba.build_problem(
+        scene.poses.q, scene.poses.c, X0, intr,
+        np.array(o_lm), np.array(o_cam), np.zeros(len(o_lm), np.int32),
+        np.array(o_uv), max_track=6,
+        cam_fixed=np.ones(6, bool),  # only points move
+    )
+    res = ba.ba_solve(problem, max_iters=20)
+    np.testing.assert_allclose(np.asarray(res.points), np.asarray(scene.points), atol=2e-3)
+
+
+def test_ba_jit_no_retrace():
+    """ba_solve is jittable and reusable for same-shape problems."""
+    scene, problem = _make_problem()
+    solve = jax.jit(lambda p: ba.ba_solve(p, max_iters=5))
+    r1 = solve(problem)
+    r2 = solve(problem._replace(points=problem.points + 0.01))
+    assert jnp.isfinite(r2.cost_final)
