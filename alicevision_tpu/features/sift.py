@@ -279,7 +279,9 @@ def _descriptor_raw(img, cx, cy, sigma_oct, angle, cfg: SiftConfig):
     gx = 0.5 * (patch[1:-1, 2:] - patch[1:-1, :-2])
     gy = 0.5 * (patch[2:, 1:-1] - patch[:-2, 1:-1])
     mag = jnp.sqrt(gx * gx + gy * gy)
-    ang = jnp.arctan2(gy, gx) - angle  # gradient angle relative to keypoint
+    # The patch is sampled along axes rotated by `angle`, so finite
+    # differences are already expressed in the keypoint frame.
+    ang = jnp.arctan2(gy, gx)
 
     g = (jnp.arange(G, dtype=jnp.float32) + 0.5) / G  # (0, 1)
     yy, xx = jnp.meshgrid(g, g, indexing="ij")
