@@ -1,0 +1,477 @@
+"""Incremental structure-from-motion engine.
+
+TPU-native re-design of the reference's sequential reconstruction engine
+(ref: src/aliceVision/sfm/pipeline/sequential/ReconstructionEngine_sequentialSfM.cpp
+:174-231 process, :254 tracks fusion, :407-520 incremental loop;
+params .hpp:41-110). The control flow (which view next, when to BA) stays on
+the host; every numeric step is a batched jit kernel:
+
+  * initial pair: AC-RANSAC essential + cheirality on the pair's common
+    tracks (makeInitialPair3D, .hpp:231);
+  * resection: robust P3P + Gauss-Newton refit (ACRANSAC localizer, .hpp:71);
+  * triangulation: masked N-view DLT over the (T, K) track table with
+    reprojection / angle / depth gates (sfmTriangulation.cpp);
+  * bundle adjustment: the Schur LM solver over the *full fixed-capacity*
+    problem with growing validity masks — one XLA compile for the whole
+    reconstruction, no shape-driven retraces.
+
+Operating point mirrors the reference defaults: BA after every added group,
+outlier removal at 4px, min triangulation angle 3 deg
+(ReconstructionEngine_sequentialSfM.hpp:60-99).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import camera as cam
+from .. import geometry as geo
+from .. import robust
+from .. import multiview as mv
+from ..tracks.builder import Tracks
+from . import ba as ba_mod
+
+
+@dataclasses.dataclass
+class IncrementalConfig:
+    max_reproj_px: float = 4.0  # outlier gate (hpp:96 maxReprojectionError)
+    min_angle_deg: float = 3.0  # triangulation angle gate (hpp:88)
+    min_angle_init_deg: float = 5.0  # initial pair baseline gate (hpp:86)
+    resection_max_error_px: float = 4.0
+    n_ransac_hyps: int = 256
+    group_add: int = 30  # BA group size after warmup (hpp:60)
+    max_track_obs: int = 16  # K bucket for triangulation/BA tables
+    ba_max_iters: int = 20
+    min_track_inliers_resection: int = 12
+    min_pts_init: int = 50
+    seed: int = 0
+
+
+class IncrementalResult:
+    def __init__(self, n_views):
+        self.pose_R = np.zeros((n_views, 3, 3))
+        self.pose_c = np.zeros((n_views, 3))
+        self.posed = np.zeros(n_views, bool)
+        self.points = None  # (T, 3)
+        self.point_valid = None  # (T,)
+        self.history: list = []
+
+
+class IncrementalSfM:
+    """Drives the reconstruction from tracks + per-view features."""
+
+    def __init__(
+        self,
+        tracks: Tracks,
+        features_xy: dict,
+        intr_table: cam.Intrinsics,
+        view_intrinsic: np.ndarray,
+        image_sizes: np.ndarray,
+        config: IncrementalConfig = IncrementalConfig(),
+    ):
+        self.cfg = config
+        self.tracks = tracks
+        self.view_intrinsic = np.asarray(view_intrinsic, np.int32)
+        self.image_sizes = np.asarray(image_sizes)
+        self.intr_np = jax.tree_util.tree_map(np.asarray, intr_table)
+        self.n_views = len(view_intrinsic)
+        self.T = tracks.n_tracks
+        self.key = jax.random.PRNGKey(config.seed)
+
+        # Flat observation SoA + pixel coords.
+        self.obs_track = tracks.track_ids
+        self.obs_view = tracks.views
+        O = len(self.obs_track)
+        self.obs_uv = np.zeros((O, 2), np.float32)
+        for v, xy in features_xy.items():
+            sel = self.obs_view == v
+            self.obs_uv[sel] = np.asarray(xy)[tracks.features[sel]]
+
+        # Undistorted normalized coords per observation (for E/P3P).
+        intr_rows = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a)[self.view_intrinsic[self.obs_view]], intr_table
+        )
+        p = cam.ima2cam(intr_rows, jnp.asarray(self.obs_uv))
+        self.obs_norm = np.asarray(
+            cam.remove_distortion(intr_rows.disto_kind, intr_rows.disto, p)
+        )
+
+        # (T, K) bucketed table of observation indices.
+        K = config.max_track_obs
+        order = np.argsort(self.obs_track, kind="stable")
+        bounds = np.searchsorted(self.obs_track[order], np.arange(self.T + 1))
+        self.tbl_obs = np.zeros((self.T, K), np.int64)
+        self.tbl_mask = np.zeros((self.T, K), bool)
+        for t in range(self.T):
+            sel = order[bounds[t] : bounds[t + 1]][:K]
+            self.tbl_obs[t, : len(sel)] = sel
+            self.tbl_mask[t, : len(sel)] = True
+        self.tbl_view = np.where(self.tbl_mask, self.obs_view[self.tbl_obs], 0)
+
+        # per-view list of observations (for resection/scoring)
+        self.view_obs = [np.nonzero(self.obs_view == v)[0] for v in range(self.n_views)]
+
+        # state
+        self.res = IncrementalResult(self.n_views)
+        self.res.points = np.zeros((self.T, 3))
+        self.res.point_valid = np.zeros(self.T, bool)
+        self.obs_inlier = np.ones(O, bool)
+
+        self._focal_mean = float(np.mean(self.intr_np.scale))
+        self._im_wh = (
+            float(np.max(self.image_sizes[:, 0])),
+            float(np.max(self.image_sizes[:, 1])),
+        )
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    # ------------------------------------------------------------------
+    # Initial pair
+    # ------------------------------------------------------------------
+    def candidate_pairs(self, top: int = 20):
+        """Pairs ranked by number of common tracks."""
+        from collections import Counter
+
+        cnt = Counter()
+        # count via per-track view pairs (K small)
+        for t in range(self.T):
+            vs = self.tbl_view[t][self.tbl_mask[t]]
+            vs = np.sort(vs)
+            for i in range(len(vs)):
+                for j in range(i + 1, len(vs)):
+                    cnt[(int(vs[i]), int(vs[j]))] += 1
+        return [p for p, _ in cnt.most_common(top)]
+
+    def _pair_obs(self, vi, vj):
+        """Common tracks and their normalized obs in the two views."""
+        oi = self.view_obs[vi]
+        oj = self.view_obs[vj]
+        ti = self.obs_track[oi]
+        tj = self.obs_track[oj]
+        common, ii, jj = np.intersect1d(ti, tj, return_indices=True)
+        return common, oi[ii], oj[jj]
+
+    def try_initial_pair(self, vi: int, vj: int) -> bool:
+        cfg = self.cfg
+        common, oi, oj = self._pair_obs(vi, vj)
+        if len(common) < cfg.min_pts_init:
+            return False
+        x1 = jnp.asarray(self.obs_norm[oi])
+        x2 = jnp.asarray(self.obs_norm[oj])
+        R, t, rm = robust.robust_relative_pose(
+            self._next_key(), x1, x2, self._focal_mean, self._im_wh,
+            n_hyps=cfg.n_ransac_hyps, max_error_px=cfg.resection_max_error_px,
+        )
+        inl = np.asarray(rm.inliers)
+        if inl.sum() < cfg.min_pts_init:
+            return False
+
+        # Triangulate inliers, check median angle (baseline gate).
+        P1 = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+        P2 = np.concatenate([np.asarray(R), np.asarray(t)[:, None]], axis=1)
+        X = np.asarray(
+            mv.triangulate_dlt(jnp.asarray(P1)[None], jnp.asarray(P2)[None], x1, x2)
+        )
+        c2 = -np.asarray(R).T @ np.asarray(t)
+        d1 = X
+        d2 = X - c2
+        cosang = np.sum(d1 * d2, -1) / (
+            np.linalg.norm(d1, axis=-1) * np.linalg.norm(d2, axis=-1) + 1e-12
+        )
+        ang = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+        good = inl & (X[:, 2] > 0) & (ang > 0.5)
+        if good.sum() < cfg.min_pts_init or np.median(ang[good]) < cfg.min_angle_init_deg:
+            return False
+
+        # Commit: first camera at identity.
+        self.res.pose_R[vi] = np.eye(3)
+        self.res.pose_c[vi] = 0.0
+        self.res.pose_R[vj] = np.asarray(R)
+        self.res.pose_c[vj] = c2
+        self.res.posed[[vi, vj]] = True
+        self.res.points[common[good]] = X[good]
+        self.res.point_valid[common[good]] = True
+        self.res.history.append(("init", vi, vj, int(good.sum())))
+        return True
+
+    def initialize(self) -> bool:
+        for vi, vj in self.candidate_pairs():
+            if self.try_initial_pair(vi, vj):
+                return True
+        return False
+
+    # ------------------------------------------------------------------
+    # Resection
+    # ------------------------------------------------------------------
+    def view_scores(self):
+        """Per unposed view: number of observations of valid tracks
+        (the image-score of findNextBestViews, simplified from the pyramid
+        weighting of .cpp:233-251)."""
+        scores = np.zeros(self.n_views, np.int64)
+        for v in range(self.n_views):
+            if self.res.posed[v]:
+                continue
+            tr = self.obs_track[self.view_obs[v]]
+            scores[v] = self.res.point_valid[tr].sum()
+        return scores
+
+    def resect_view(self, v: int) -> bool:
+        cfg = self.cfg
+        obs_idx = self.view_obs[v]
+        tr = self.obs_track[obs_idx]
+        usable = self.res.point_valid[tr]
+        if usable.sum() < cfg.min_track_inliers_resection:
+            return False
+        world = self.res.points[tr[usable]]
+        obs_n = self.obs_norm[obs_idx[usable]]
+        # pad to power-of-two-ish bucket to limit recompiles
+        n = len(world)
+        cap = 1 << int(np.ceil(np.log2(max(n, 32))))
+        pad = cap - n
+        world_p = np.pad(world, ((0, pad), (0, 0)))
+        obs_p = np.pad(obs_n, ((0, pad), (0, 0)))
+        valid = np.zeros(cap, bool)
+        valid[:n] = True
+        rp = robust.robust_resection_p3p(
+            self._next_key(),
+            jnp.asarray(world_p, jnp.float32),
+            jnp.asarray(obs_p, jnp.float32),
+            self._focal_mean,
+            self._im_wh,
+            valid=jnp.asarray(valid),
+            n_hyps=cfg.n_ransac_hyps,
+            max_error_px=cfg.resection_max_error_px,
+        )
+        if int(rp.n_inliers) < cfg.min_track_inliers_resection:
+            return False
+        R = np.asarray(rp.R)
+        self.res.pose_R[v] = R
+        self.res.pose_c[v] = -R.T @ np.asarray(rp.t)
+        self.res.posed[v] = True
+        self.res.history.append(("resect", v, int(rp.n_inliers)))
+        return True
+
+    # ------------------------------------------------------------------
+    # Triangulation of all tracks observable from posed views
+    # ------------------------------------------------------------------
+    def triangulate_all(self):
+        cfg = self.cfg
+        K = cfg.max_track_obs
+        posed = self.res.posed
+        m = self.tbl_mask & posed[self.tbl_view] & self.obs_inlier[self.tbl_obs]
+        enough = m.sum(1) >= 2
+
+        # Projection matrices per view (normalized camera: K = I).
+        P = np.zeros((self.n_views, 3, 4), np.float32)
+        P[:, :3, :3] = self.res.pose_R
+        P[:, :, 3] = -np.einsum("vij,vj->vi", self.res.pose_R, self.res.pose_c)
+
+        Pb = P[self.tbl_view]  # (T, K, 3, 4)
+        uv = self.obs_norm[self.tbl_obs]  # (T, K, 2)
+        X = np.asarray(
+            _triangulate_gated(
+                jnp.asarray(Pb),
+                jnp.asarray(uv, jnp.float32),
+                jnp.asarray(m),
+                jnp.asarray(self.res.pose_c[self.tbl_view], jnp.float32),
+                cfg.max_reproj_px / self._focal_mean,
+                np.radians(cfg.min_angle_deg),
+            )
+        )
+        ok = np.isfinite(X).all(axis=1) & enough
+        self.res.points[ok] = X[ok]
+        self.res.point_valid = ok
+
+    # ------------------------------------------------------------------
+    # Bundle adjustment over the full masked problem
+    # ------------------------------------------------------------------
+    def bundle_adjust(self, fix_gauge: int = 2):
+        cfg = self.cfg
+        posed_idx = np.nonzero(self.res.posed)[0]
+        m = (
+            self.tbl_mask
+            & self.res.posed[self.tbl_view]
+            & self.res.point_valid[:, None]
+            & self.obs_inlier[self.tbl_obs]
+        )
+
+        q = geo.mat_to_quat(jnp.asarray(self.res.pose_R, jnp.float32))
+        cam_fixed = ~self.res.posed.copy()
+        cam_fixed[posed_idx[:fix_gauge]] = True
+
+        intr = jax.tree_util.tree_map(jnp.asarray, self.intr_np)
+        problem = ba_mod.BAProblem(
+            cam_q=q,
+            cam_c=jnp.asarray(self.res.pose_c, jnp.float32),
+            points=jnp.asarray(self.res.points, jnp.float32),
+            intr=jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32)
+                                        if np.issubdtype(np.asarray(a).dtype, np.floating) else jnp.asarray(a), intr),
+            obs_cam=jnp.asarray(self.tbl_view),
+            obs_intr=jnp.asarray(self.view_intrinsic[self.tbl_view]),
+            obs_uv=jnp.asarray(self.obs_uv[self.tbl_obs], jnp.float32),
+            obs_mask=jnp.asarray(m),
+            cam_fixed=jnp.asarray(cam_fixed),
+            point_fixed=jnp.asarray(~self.res.point_valid),
+        )
+        res = _ba_solve_jit(problem)
+        self.res.pose_R = np.asarray(geo.quat_to_mat(res.cam_q), np.float64)
+        self.res.pose_c = np.asarray(res.cam_c, np.float64)
+        new_pts = np.asarray(res.points, np.float64)
+        self.res.points = np.where(self.res.point_valid[:, None], new_pts, self.res.points)
+        self.res.history.append(
+            ("ba", float(res.cost_initial), float(res.cost_final), int(res.n_iters))
+        )
+
+    def remove_outliers(self):
+        """Flag observations with reprojection error above the gate
+        (ref: sfmFilters.cpp removeOutliers)."""
+        cfg = self.cfg
+        P = np.zeros((self.n_views, 3, 4))
+        P[:, :3, :3] = self.res.pose_R
+        P[:, :, 3] = -np.einsum("vij,vj->vi", self.res.pose_R, self.res.pose_c)
+        tr = self.obs_track
+        Xh = np.concatenate([self.res.points, np.ones((self.T, 1))], axis=1)
+        proj = np.einsum("oij,oj->oi", P[self.obs_view], Xh[tr])
+        z = proj[:, 2]
+        uvn = proj[:, :2] / np.where(np.abs(z) < 1e-9, 1e-9, z)[:, None]
+        err = np.linalg.norm(uvn - self.obs_norm, axis=-1) * self._focal_mean
+        bad = (err > cfg.max_reproj_px) | (z <= 0)
+        relevant = self.res.posed[self.obs_view] & self.res.point_valid[tr]
+        self.obs_inlier = self.obs_inlier & ~(bad & relevant)
+        # drop tracks that lost support
+        m = (
+            self.tbl_mask
+            & self.res.posed[self.tbl_view]
+            & self.obs_inlier[self.tbl_obs]
+        )
+        self.res.point_valid &= m.sum(1) >= 2
+        return int((bad & relevant).sum())
+
+    # ------------------------------------------------------------------
+    def process(self, max_iterations: int = 1000) -> IncrementalResult:
+        if not self.initialize():
+            raise RuntimeError("no valid initial pair found")
+        self.triangulate_all()
+        self.bundle_adjust()
+        self.remove_outliers()
+        self.triangulate_all()
+
+        it = 0
+        while it < max_iterations:
+            it += 1
+            scores = self.view_scores()
+            best = scores.max()
+            if best < self.cfg.min_track_inliers_resection:
+                break
+            # group: views within 75% of the best score, up to group_add
+            n_posed = int(self.res.posed.sum())
+            group_cap = 1 if n_posed < 4 else self.cfg.group_add
+            cands = np.argsort(-scores)
+            group = [v for v in cands if scores[v] >= 0.75 * best][:group_cap]
+            added = 0
+            for v in group:
+                if self.resect_view(int(v)):
+                    added += 1
+            if added == 0:
+                break
+            self.triangulate_all()
+            self.bundle_adjust()
+            for _ in range(5):
+                n_bad = self.remove_outliers()
+                if n_bad == 0:
+                    break
+                self.triangulate_all()
+                self.bundle_adjust()
+        return self.res
+
+    # ------------------------------------------------------------------
+    def to_sfmdata(self, view_ids=None):
+        """Export the reconstruction as an SfMData scene."""
+        from ..sfmdata import SfMData
+
+        sc = SfMData.empty()
+        I = len(np.atleast_1d(self.intr_np.cam_kind))
+        for i in range(I):
+            sc.add_intrinsic(
+                1000 + i,
+                int(np.atleast_2d(self.intr_np.size)[i, 0]),
+                int(np.atleast_2d(self.intr_np.size)[i, 1]),
+                float(np.atleast_2d(self.intr_np.scale)[i, 0]),
+                cam_kind=int(np.atleast_1d(self.intr_np.cam_kind)[i]),
+                disto_kind=int(np.atleast_1d(self.intr_np.disto_kind)[i]),
+                disto_params=tuple(np.atleast_2d(self.intr_np.disto)[i]),
+                offset=tuple(np.atleast_2d(self.intr_np.offset)[i]),
+                focal_y_px=float(np.atleast_2d(self.intr_np.scale)[i, 1]),
+            )
+        ids = view_ids if view_ids is not None else np.arange(self.n_views)
+        for v in range(self.n_views):
+            vi = sc.add_view(
+                int(ids[v]),
+                int(self.view_intrinsic[v]),
+                int(self.image_sizes[v, 0]),
+                int(self.image_sizes[v, 1]),
+            )
+            if self.res.posed[v]:
+                sc.set_pose(vi, self.res.pose_R[v], self.res.pose_c[v])
+        valid_t = np.nonzero(self.res.point_valid)[0]
+        remap = -np.ones(self.T, np.int64)
+        remap[valid_t] = np.arange(len(valid_t))
+        keep_obs = (
+            self.res.point_valid[self.obs_track]
+            & self.res.posed[self.obs_view]
+            & self.obs_inlier
+        )
+        sc.set_structure(
+            self.res.points[valid_t],
+            remap[self.obs_track[keep_obs]],
+            self.obs_view[keep_obs],
+            self.obs_uv[keep_obs],
+            landmark_ids=valid_t.astype(np.int64),
+        )
+        return sc
+
+
+# ---------------------------------------------------------------------------
+# jitted helpers
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _triangulate_gated(Pb, uv, mask, centers, max_err_norm, min_angle_rad):
+    """Masked N-view DLT + reprojection/angle/depth gates.
+
+    Pb: (T, K, 3, 4) in normalized camera units; uv: (T, K, 2);
+    centers: (T, K, 3). Returns (T, 3) with NaN rows where gates fail.
+    """
+    X = mv.triangulate_nview(Pb, uv, mask)
+
+    Xh = jnp.concatenate([X, jnp.ones_like(X[..., :1])], axis=-1)
+    proj = jnp.einsum("tkij,tj->tki", Pb, Xh)
+    z = proj[..., 2]
+    uvp = proj[..., :2] / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)[..., None]
+    err = jnp.linalg.norm(uvp - uv, axis=-1)
+    ok_err = jnp.where(mask, (err < max_err_norm) & (z > 0), True)
+
+    # max pairwise triangulation angle across observing views
+    d = X[:, None, :] - centers  # (T, K, 3)
+    dn = d / jnp.linalg.norm(d, axis=-1, keepdims=True).clip(1e-12)
+    cosang = jnp.einsum("tki,tmi->tkm", dn, dn)
+    pair_m = mask[:, :, None] & mask[:, None, :]
+    ang = jnp.where(pair_m, jnp.arccos(jnp.clip(cosang, -1.0, 1.0)), 0.0)
+    max_ang = jnp.max(ang, axis=(1, 2))
+
+    good = jnp.all(ok_err, axis=1) & (max_ang > min_angle_rad)
+    return jnp.where(good[:, None], X, jnp.nan)
+
+
+@jax.jit
+def _ba_solve_jit(problem):
+    return ba_mod.ba_solve(problem, max_iters=25)
