@@ -1,0 +1,277 @@
+"""Plane-sweep similarity volumes + SGM depth estimation.
+
+TPU-native re-design of the reference's CUDA depth-map core
+(ref: src/aliceVision/depthMap/Sgm.cpp:117-158 sgmRc pipeline,
+cuda/planeSweeping/deviceSimilarityVolumeKernels.cuh:109-235
+volume_computeSimilarity_kernel, :658-726 SGM aggregation,
+:393-515 best-depth retrieval; SgmParams.hpp:17-55 defaults).
+
+The CUDA kernel computes one NCC patch per (x, y, depth, tcam) thread.
+The TPU formulation instead sweeps fronto-parallel planes of the reference
+camera: for every (depth, tcam) the T-cam image is warped into the
+reference view through the plane homography, and windowed ZNCC between
+reference and warp is computed with separable Gaussian blurs — turning the
+whole volume into batched image-wide convolutions and element-wise algebra
+(VPU/MXU-friendly, no gather per pixel beyond one bilinear warp).
+
+SGM cost aggregation is the classic 4-direction dynamic program
+(the reference sweeps its "YX" axes in both directions): a lax.scan along
+the sweep axis, vectorized over the orthogonal axis and the depth axis,
+with the image-gradient-adaptive P2 of the reference.
+
+All defaults mirror SgmParams: P1=10, P2 weight=100, window ~ wsh*2+1,
+inverse-depth plane spacing from the SfM depth range.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..image.filtering import gaussian_blur
+
+_EPS = 1e-6
+
+
+class SgmParams(NamedTuple):
+    n_depths: int = 128
+    sigma_window: float = 2.0  # Gaussian window of the ZNCC (≈ wsh=4 box)
+    p1: float = 10.0
+    p2_weight: float = 100.0
+    p2_alpha: float = 10.0  # gradient adaptivity of P2 (deviceSimilarityVolumeKernels.cuh:597-656)
+    cost_clip: float = 1.0  # similarity in [-1, 1] -> cost in [0, cost_clip*255]
+
+
+def inverse_depth_planes(d_min: float, d_max: float, n: int) -> jnp.ndarray:
+    """Plane depths sampled uniformly in inverse depth (SgmDepthList.cpp)."""
+    inv = jnp.linspace(1.0 / d_max, 1.0 / d_min, n)
+    return 1.0 / inv[::-1]  # ascending depth
+
+
+def plane_homography(K_ref, K_t, R_rel, t_rel, depth):
+    """Homography mapping reference pixels -> T-cam pixels for the
+    fronto-parallel plane at `depth` (n = [0,0,1] in the ref frame).
+
+    H = K_t (R + t n^T / d) K_ref^-1 with (R, t) = pose of tcam in ref frame.
+    """
+    n = jnp.array([0.0, 0.0, 1.0])
+    H = R_rel + jnp.outer(t_rel, n) / depth
+    return K_t @ H @ jnp.linalg.inv(K_ref)
+
+
+def warp_homography(img: jnp.ndarray, H: jnp.ndarray, out_hw):
+    """Inverse-warp: sample img at H @ (x, y, 1) for each output pixel."""
+    Hh, Ww = out_hw
+    ys = jnp.arange(Hh, dtype=jnp.float32)
+    xs = jnp.arange(Ww, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    ones = jnp.ones_like(gx)
+    p = jnp.stack([gx, gy, ones], axis=-1)  # (H, W, 3)
+    q = jnp.einsum("ij,hwj->hwi", H, p)
+    z = q[..., 2]
+    u = q[..., 0] / jnp.where(jnp.abs(z) < _EPS, _EPS, z)
+    v = q[..., 1] / jnp.where(jnp.abs(z) < _EPS, _EPS, z)
+
+    H_im, W_im = img.shape
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = u - u0
+    fv = v - v0
+    u0i = u0.astype(jnp.int32)
+    v0i = v0.astype(jnp.int32)
+
+    def tap(vi, ui, w):
+        ok = (ui >= 0) & (ui < W_im) & (vi >= 0) & (vi < H_im)
+        val = img[jnp.clip(vi, 0, H_im - 1), jnp.clip(ui, 0, W_im - 1)]
+        return jnp.where(ok, val * w, 0.0), jnp.where(ok, w, 0.0)
+
+    a0, w0 = tap(v0i, u0i, (1 - fu) * (1 - fv))
+    a1, w1 = tap(v0i, u0i + 1, fu * (1 - fv))
+    a2, w2 = tap(v0i + 1, u0i, (1 - fu) * fv)
+    a3, w3 = tap(v0i + 1, u0i + 1, fu * fv)
+    wsum = w0 + w1 + w2 + w3
+    out = (a0 + a1 + a2 + a3) / jnp.maximum(wsum, _EPS)
+    valid = (wsum > 0.99) & (z > _EPS)
+    return jnp.where(valid, out, 0.0), valid
+
+
+def zncc(ref: jnp.ndarray, warp: jnp.ndarray, valid: jnp.ndarray, sigma: float):
+    """Windowed zero-mean NCC between two images via Gaussian moments
+    (the separable-filter equivalent of the CUDA per-patch loop,
+    Patch.cuh:467-531)."""
+    w = valid.astype(ref.dtype)
+    blur = lambda x: gaussian_blur(x, sigma)
+    wsum = blur(w).clip(1e-4)
+    mr = blur(ref * w) / wsum
+    mt = blur(warp * w) / wsum
+    rr = blur(ref * ref * w) / wsum - mr * mr
+    tt = blur(warp * warp * w) / wsum - mt * mt
+    rt = blur(ref * warp * w) / wsum - mr * mt
+    den = jnp.sqrt(jnp.maximum(rr * tt, _EPS))
+    ncc = rt / den
+    cov = blur(w)  # coverage fraction
+    return jnp.where(cov > 0.5, jnp.clip(ncc, -1.0, 1.0), -1.0)
+
+
+def similarity_volume(
+    ref_img: jnp.ndarray,  # (H, W) grayscale/luma
+    t_imgs: jnp.ndarray,  # (T, H, W)
+    K_ref: jnp.ndarray,  # (3, 3)
+    K_t: jnp.ndarray,  # (T, 3, 3)
+    R_rel: jnp.ndarray,  # (T, 3, 3) tcam pose in ref frame
+    t_rel: jnp.ndarray,  # (T, 3)
+    depths: jnp.ndarray,  # (D,)
+    params: SgmParams = SgmParams(),
+) -> jnp.ndarray:
+    """Similarity volume (D, H, W): mean ZNCC across T-cams per depth plane.
+
+    Cost convention matches the reference (0 good .. 255 bad) so the SGM
+    stage is interchangeable.
+    """
+    Hh, Ww = ref_img.shape
+
+    def per_depth(depth):
+        def per_tcam(timg, Kt, Rr, tr):
+            Hmat = plane_homography(K_ref, Kt, Rr, tr, depth)
+            warp, valid = warp_homography(timg, Hmat, (Hh, Ww))
+            sim = zncc(ref_img, warp, valid, params.sigma_window)
+            ok = jnp.any(valid)
+            return sim, ok
+
+        sims, oks = jax.vmap(per_tcam)(t_imgs, K_t, R_rel, t_rel)
+        # average over valid tcams, best-cam weighting like maxTCams small
+        cnt = jnp.sum(oks)
+        sim = jnp.sum(sims * oks[:, None, None], axis=0) / jnp.maximum(cnt, 1)
+        return sim
+
+    sims = jax.lax.map(per_depth, depths)  # (D, H, W), avoids D x T memory blow
+    # similarity [-1, 1] -> cost [0, 255] (reference stores unsigned cost)
+    cost = (1.0 - sims) * 0.5 * 255.0
+    return cost
+
+
+# ---------------------------------------------------------------------------
+# SGM aggregation
+# ---------------------------------------------------------------------------
+
+
+def _directional_pass(cost: jnp.ndarray, p2_img: jnp.ndarray, p1: float):
+    """One forward SGM sweep along axis 1 of cost (S, N, D) with per-position
+    adaptive P2 (S, N). Returns aggregated costs of same shape.
+
+    Recurrence (vectorized over N and D, scanned over S):
+      L_s = C_s + min(L_{s-1}, L_{s-1}(d+-1) + P1, min_d L_{s-1} + P2) - min_d L_{s-1}
+    """
+    S = cost.shape[0]
+
+    def step(carry, inp):
+        L_prev = carry  # (N, D)
+        C, P2 = inp  # (N, D), (N,)
+        m = jnp.min(L_prev, axis=-1, keepdims=True)  # (N, 1)
+        up = jnp.concatenate([L_prev[:, :1], L_prev[:, :-1]], axis=1)
+        dn = jnp.concatenate([L_prev[:, 1:], L_prev[:, -1:]], axis=1)
+        best = jnp.minimum(
+            jnp.minimum(L_prev, jnp.minimum(up, dn) + p1), m + P2[:, None]
+        )
+        L = C + best - m
+        return L, L
+
+    L0 = cost[0]
+    _, Ls = jax.lax.scan(step, L0, (cost[1:], p2_img[1:]))
+    return jnp.concatenate([L0[None], Ls], axis=0)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def sgm_aggregate(
+    cost: jnp.ndarray,  # (D, H, W)
+    ref_img: jnp.ndarray,  # (H, W) for gradient-adaptive P2
+    params: SgmParams = SgmParams(),
+) -> jnp.ndarray:
+    """4-direction SGM (left/right/up/down), the reference's "YX" both ways."""
+    vol = jnp.moveaxis(cost, 0, -1)  # (H, W, D)
+
+    # Adaptive P2: large in flat areas, small across strong gradients
+    # (deviceSimilarityVolumeKernels.cuh:597-656 uses grad-based weighting).
+    gx = jnp.abs(jnp.roll(ref_img, -1, 1) - ref_img)
+    gy = jnp.abs(jnp.roll(ref_img, -1, 0) - ref_img)
+
+    def p2_of(grad):
+        return params.p1 + (params.p2_weight - params.p1) * jnp.exp(
+            -params.p2_alpha * grad
+        )
+
+    p1 = params.p1
+
+    total = jnp.zeros_like(vol)
+    # left -> right: scan over W; (S=W, N=H, D)
+    c_lr = jnp.moveaxis(vol, 1, 0)  # (W, H, D)
+    p2x = jnp.moveaxis(p2_of(gx), 1, 0)  # (W, H)
+    total = total + jnp.moveaxis(_directional_pass(c_lr, p2x, p1), 0, 1)
+    # right -> left
+    total = total + jnp.moveaxis(
+        _directional_pass(c_lr[::-1], p2x[::-1], p1)[::-1], 0, 1
+    )
+    # top -> bottom: scan over H; (H, W, D)
+    p2y = p2_of(gy)
+    total = total + _directional_pass(vol, p2y, p1)
+    # bottom -> top
+    total = total + _directional_pass(vol[::-1], p2y[::-1], p1)[::-1]
+
+    return jnp.moveaxis(total, -1, 0)  # (D, H, W)
+
+
+def retrieve_best_depth(
+    agg: jnp.ndarray,  # (D, H, W) aggregated costs
+    depths: jnp.ndarray,  # (D,)
+):
+    """Argmin + parabolic subpixel interpolation in inverse depth
+    (ref: volume_retrieveBestDepth_kernel :393-515). Returns (depth map,
+    similarity map) with -1 depth where no minimum exists."""
+    D = agg.shape[0]
+    best = jnp.argmin(agg, axis=0)  # (H, W)
+    c0 = jnp.take_along_axis(agg, best[None], axis=0)[0]
+
+    bm = jnp.clip(best - 1, 0, D - 1)
+    bp = jnp.clip(best + 1, 0, D - 1)
+    cm = jnp.take_along_axis(agg, bm[None], axis=0)[0]
+    cp = jnp.take_along_axis(agg, bp[None], axis=0)[0]
+    denom = cm - 2.0 * c0 + cp
+    delta = jnp.where(jnp.abs(denom) > _EPS, 0.5 * (cm - cp) / denom, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    interior = (best > 0) & (best < D - 1)
+    delta = jnp.where(interior, delta, 0.0)
+
+    # interpolate in inverse depth (planes are uniform in 1/d)
+    inv = 1.0 / depths
+    inv_best = jnp.take(inv, best)
+    inv_m = jnp.take(inv, bm)
+    inv_p = jnp.take(inv, bp)
+    inv_interp = inv_best + delta * jnp.where(
+        delta >= 0, inv_p - inv_best, inv_best - inv_m
+    )
+    depth_map = 1.0 / jnp.maximum(inv_interp, _EPS)
+    sim_map = 1.0 - c0 / (0.5 * 255.0)  # back to [-1, 1]
+    return depth_map, sim_map
+
+
+def sgm_depth_map(
+    ref_img,
+    t_imgs,
+    K_ref,
+    K_t,
+    R_rel,
+    t_rel,
+    d_min: float,
+    d_max: float,
+    params: SgmParams = SgmParams(),
+):
+    """Full SGM pipeline for one reference view (Sgm::sgmRc equivalent)."""
+    depths = inverse_depth_planes(d_min, d_max, params.n_depths)
+    cost = similarity_volume(
+        ref_img, t_imgs, K_ref, K_t, R_rel, t_rel, depths, params
+    )
+    agg = sgm_aggregate(cost, ref_img, params)
+    return retrieve_best_depth(agg, depths)
