@@ -1,0 +1,22 @@
+from .calibration import (
+    DebevecResponse,
+    debevec_calibrate,
+    laguerre_apply,
+    laguerre_calibrate,
+    sample_bracket_pixels,
+    weight_gaussian,
+    weight_triangle,
+)
+from .merge import estimate_brackets, merge_hdr
+
+__all__ = [
+    "DebevecResponse",
+    "debevec_calibrate",
+    "estimate_brackets",
+    "laguerre_apply",
+    "laguerre_calibrate",
+    "merge_hdr",
+    "sample_bracket_pixels",
+    "weight_gaussian",
+    "weight_triangle",
+]

@@ -1,0 +1,56 @@
+"""HDR bracket merging with highlight handling.
+
+TPU-native counterpart of the reference's merge
+(ref: src/aliceVision/hdr/hdrMerge.cpp — weighted average of linearized
+brackets divided by exposure, with highlight recovery from the shortest
+exposure; brackets.cpp — exposure grouping). Pure batched array math.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .calibration import laguerre_inverse, weight_gaussian
+
+
+def estimate_brackets(exposures: np.ndarray, n_brackets: int) -> list:
+    """Group a sorted exposure sequence into bracket groups
+    (hdr/brackets.cpp: consecutive runs of n_brackets)."""
+    n = len(exposures)
+    groups = []
+    for s in range(0, n - n_brackets + 1, n_brackets):
+        groups.append(list(range(s, s + n_brackets)))
+    return groups
+
+
+def merge_hdr(
+    images: jnp.ndarray,  # (B, H, W[, C]) in [0, 1]
+    exposures: jnp.ndarray,  # (B,)
+    phi: jnp.ndarray | float = 0.0,  # Laguerre response parameter (0 = linear)
+    highlight_rescale: bool = True,
+) -> jnp.ndarray:
+    """Radiance map: sum_b w(z_b) lin(z_b)/dt_b / sum_b w(z_b).
+
+    Saturated-everywhere pixels fall back to the shortest exposure's
+    linearized value (highlight recovery)."""
+    phi = jnp.asarray(phi)
+    lin = laguerre_inverse(phi, images)
+    shape = [-1] + [1] * (images.ndim - 1)
+    dt = exposures.reshape(shape)
+    w = weight_gaussian(images)
+    # exclude fully saturated / fully dark from the weighting
+    w = jnp.where((images > 0.995) | (images < 0.005), 0.0, w)
+    num = jnp.sum(w * lin / dt, axis=0)
+    den = jnp.sum(w, axis=0)
+
+    shortest = jnp.argmin(exposures)
+    fallback = lin[shortest] / exposures[shortest]
+    merged = jnp.where(den > 1e-6, num / jnp.maximum(den, 1e-6), fallback)
+
+    if highlight_rescale:
+        # saturated in ALL brackets -> clamp to the brightest recoverable
+        # radiance to avoid magenta-style blowouts
+        all_sat = jnp.all(images > 0.995, axis=0)
+        merged = jnp.where(all_sat, jnp.maximum(merged, fallback), merged)
+    return merged

@@ -1,0 +1,516 @@
+"""Pipeline stages with file-level contracts (the Meshroom-style DAG).
+
+TPU-native equivalent of the reference's CLI stage chain
+(ref: SURVEY.md §3.6; src/software/pipeline/main_cameraInit.cpp:323-343,
+main_featureExtraction.cpp, main_imageMatching.cpp:209,
+main_featureMatching.cpp, main_incrementalSfM.cpp,
+main_prepareDenseScene.cpp:71-82, main_depthMapEstimation.cpp,
+main_depthMapFiltering.cpp:142-144, main_meshing.cpp:400-401).
+
+Each stage reads/writes files so runs are resumable at stage granularity —
+the same checkpoint contract the reference exposes to Meshroom. Formats:
+  features: <viewId>.feat.npz  (xy, scale, orientation, response, desc, valid)
+  pairs:    pairs.txt          ("i j" per line, view indices)
+  matches:  matches.npz        (one array per "i_j" pair, (K, 2) feature ids)
+  depth:    <viewId>_depth.npy / _sim.npy
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from .. import camera as cam
+from .. import geometry as geo
+from .. import sfmdata
+from ..image.io import read_exif, read_image, write_image
+from ..utils import sensor_db as sdb
+
+
+def _ensure_dir(d):
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# cameraInit
+# ---------------------------------------------------------------------------
+
+
+def camera_init(
+    image_folder: str,
+    output_sfm: str,
+    sensor_db_path: str | None = None,
+    default_focal_px: float | None = None,
+) -> sfmdata.SfMData:
+    """Scan a folder of images -> .sfm with views + EXIF-derived intrinsics.
+
+    Groups views by (make, model, focal, size) into shared intrinsics like
+    the reference's cameraInit."""
+    db = sdb.parse_database(sensor_db_path) if sensor_db_path else None
+    exts = {".jpg", ".jpeg", ".png", ".tif", ".tiff", ".bmp", ".exr", ".npy"}
+    files = sorted(
+        f
+        for f in os.listdir(image_folder)
+        if os.path.splitext(f)[1].lower() in exts
+    )
+    if not files:
+        raise FileNotFoundError(f"no images in {image_folder}")
+
+    sc = sfmdata.SfMData.empty()
+    intr_key_to_idx: dict = {}
+    for i, fname in enumerate(files):
+        path = os.path.join(image_folder, fname)
+        meta = read_exif(path)
+        if "width" not in meta:
+            img = read_image(path)
+            meta["height"], meta["width"] = img.shape[:2]
+        w, h = int(meta["width"]), int(meta["height"])
+        if default_focal_px is not None:
+            focal_px, sensor_w = default_focal_px, 36.0
+        else:
+            focal_px, _ = sdb.focal_px_from_exif(meta, w, db)
+            sensor_w, _ = sdb.sensor_width_mm(meta.get("make", ""), meta.get("model", ""), db)
+        key = (meta.get("make", ""), meta.get("model", ""), round(focal_px, 1), w, h)
+        if key not in intr_key_to_idx:
+            intr_key_to_idx[key] = sc.add_intrinsic(
+                1000 + len(intr_key_to_idx),
+                w,
+                h,
+                focal_px,
+                disto_kind=cam.DISTO_RADIALK3,
+                disto_params=(0.0, 0.0, 0.0),
+                sensor_mm=(sensor_w, sensor_w * h / w),
+            )
+        sc.add_view(i + 1, intr_key_to_idx[key], w, h, path=path, frame_id=i)
+    sfmdata.save(sc, output_sfm)
+    return sc
+
+
+# ---------------------------------------------------------------------------
+# featureExtraction
+# ---------------------------------------------------------------------------
+
+
+def feature_extraction(
+    input_sfm: str,
+    output_folder: str,
+    max_keypoints: int = 4096,
+    dsp: bool = False,
+    range_start: int = 0,
+    range_size: int = -1,
+    downscale_to: int = 1024,
+) -> None:
+    """SIFT features per view -> <viewId>.feat.npz.
+
+    range_start/range_size mirror the reference's chunked farm runs
+    (main_featureExtraction.cpp --rangeStart/--rangeSize)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..features import sift
+
+    sc = sfmdata.load(input_sfm)
+    _ensure_dir(output_folder)
+    end = sc.n_views if range_size < 0 else min(sc.n_views, range_start + range_size)
+    cfg = sift.SiftConfig(max_keypoints=max_keypoints, dsp=dsp, n_octaves=4)
+    extract = jax.jit(lambda im: sift.extract(im, cfg))
+
+    for v in range(range_start, end):
+        out = os.path.join(output_folder, f"{int(sc.view_ids[v])}.feat.npz")
+        if os.path.exists(out):
+            continue
+        img = read_image(sc.view_paths[v], grayscale=True)
+        scale = 1.0
+        if downscale_to and max(img.shape) > downscale_to:
+            scale = downscale_to / max(img.shape)
+            import cv2
+
+            img = cv2.resize(
+                img, (int(img.shape[1] * scale), int(img.shape[0] * scale))
+            )
+        feats = extract(jnp.asarray(img, jnp.float32))
+        np.savez_compressed(
+            out,
+            xy=np.asarray(feats.xy) / scale,
+            scale=np.asarray(feats.scale) / scale,
+            orientation=np.asarray(feats.orientation),
+            response=np.asarray(feats.response),
+            desc=np.asarray(feats.desc, np.float32),
+            valid=np.asarray(feats.valid),
+        )
+
+
+def load_features(features_folder: str, view_id: int) -> dict:
+    with np.load(os.path.join(features_folder, f"{view_id}.feat.npz")) as z:
+        return {k: z[k] for k in z.files}
+
+
+# ---------------------------------------------------------------------------
+# imageMatching (pair selection)
+# ---------------------------------------------------------------------------
+
+
+def image_matching(
+    input_sfm: str,
+    features_folder: str,
+    output_pairs: str,
+    method: str = "exhaustive",  # exhaustive | voctree | sequential
+    n_neighbors: int = 10,
+    tree_branching: int = 8,
+    tree_levels: int = 3,
+) -> np.ndarray:
+    import jax
+    import jax.numpy as jnp
+
+    from ..matching import voctree as vt
+
+    sc = sfmdata.load(input_sfm)
+    n = sc.n_views
+    if method == "exhaustive" or n <= 2:
+        pairs = vt.exhaustive_pairs(n)
+    elif method == "sequential":
+        pairs = vt.sequential_pairs(n, window=n_neighbors)
+    elif method == "voctree":
+        descs, valids = [], []
+        for v in range(n):
+            f = load_features(features_folder, int(sc.view_ids[v]))
+            descs.append(f["desc"])
+            valids.append(f["valid"])
+        train = jnp.asarray(np.concatenate(descs)[np.concatenate(valids)])
+        tree = vt.build_voctree(
+            jax.random.PRNGKey(0), train, n_children=tree_branching, n_levels=tree_levels
+        )
+        bows = jnp.stack(
+            [
+                vt.bow_vector(tree, jnp.asarray(d), jnp.asarray(m))
+                for d, m in zip(descs, valids)
+            ]
+        )
+        db = vt.build_database(tree, bows)
+        pairs = vt.query_pairs(db, n_neighbors=n_neighbors)
+    else:
+        raise ValueError(method)
+    with open(output_pairs, "w") as f:
+        for i, j in pairs:
+            f.write(f"{i} {j}\n")
+    return pairs
+
+
+def load_pairs(path: str) -> np.ndarray:
+    out = []
+    with open(path) as f:
+        for line in f:
+            a, b = line.split()
+            out.append((int(a), int(b)))
+    return np.array(out, np.int64).reshape(-1, 2)
+
+
+# ---------------------------------------------------------------------------
+# featureMatching (photometric + geometric filter)
+# ---------------------------------------------------------------------------
+
+
+def feature_matching(
+    input_sfm: str,
+    features_folder: str,
+    pairs_file: str,
+    output_matches: str,
+    ratio: float = 0.8,
+    geometric: str = "fundamental",  # fundamental | essential | none
+    n_ransac_hyps: int = 256,
+    max_error_px: float = 4.0,
+    range_start: int = 0,
+    range_size: int = -1,
+) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from .. import robust
+    from ..matching import descriptor_matching as dm
+
+    sc = sfmdata.load(input_sfm)
+    pairs = load_pairs(pairs_file)
+    end = len(pairs) if range_size < 0 else min(len(pairs), range_start + range_size)
+
+    feats = {}
+
+    def get(v):
+        if v not in feats:
+            feats[v] = load_features(features_folder, int(sc.view_ids[v]))
+        return feats[v]
+
+    key = jax.random.PRNGKey(0)
+    out: dict[str, np.ndarray] = {}
+    for p in range(range_start, end):
+        i, j = int(pairs[p, 0]), int(pairs[p, 1])
+        fi, fj = get(i), get(j)
+        m = dm.match_bruteforce(
+            jnp.asarray(fi["desc"]),
+            jnp.asarray(fj["desc"]),
+            jnp.asarray(fi["valid"]),
+            jnp.asarray(fj["valid"]),
+            ratio=ratio,
+        )
+        pm = dm.matches_to_pairs(m)
+        if len(pm) < 8 or geometric == "none":
+            out[f"{i}_{j}"] = pm
+            continue
+        x1 = jnp.asarray(fi["xy"][pm[:, 0]], jnp.float32)
+        x2 = jnp.asarray(fj["xy"][pm[:, 1]], jnp.float32)
+        w, h = float(sc.view_sizes[i, 0]), float(sc.view_sizes[i, 1])
+        key, k1 = jax.random.split(key)
+        rm = robust.robust_fundamental(
+            k1, x1, x2, im_size=(w, h), n_hyps=n_ransac_hyps, max_error_px=max_error_px
+        )
+        inl = np.asarray(rm.inliers)
+        out[f"{i}_{j}"] = pm[inl]
+    np.savez_compressed(output_matches, **out)
+
+
+def load_matches(path: str) -> dict:
+    out = {}
+    with np.load(path) as z:
+        for k in z.files:
+            i, j = k.split("_")
+            out[(int(i), int(j))] = z[k]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# incrementalSfm
+# ---------------------------------------------------------------------------
+
+
+def incremental_sfm(
+    input_sfm: str,
+    features_folder: str,
+    matches_file: str,
+    output_sfm: str,
+    min_track_length: int = 2,
+    seed: int = 0,
+) -> sfmdata.SfMData:
+    from ..sfm.incremental import IncrementalConfig, IncrementalSfM
+    from ..tracks.builder import build_tracks
+
+    sc = sfmdata.load(input_sfm)
+    matches = load_matches(matches_file)
+    feats = {
+        v: load_features(features_folder, int(sc.view_ids[v]))
+        for v in range(sc.n_views)
+    }
+    nfeat = {v: len(feats[v]["xy"]) for v in feats}
+    tracks = build_tracks(matches, nfeat, min_track_length=min_track_length)
+    features_xy = {v: feats[v]["xy"] for v in feats}
+
+    engine = IncrementalSfM(
+        tracks,
+        features_xy,
+        sc.intrinsics_table(),
+        view_intrinsic=sc.view_intrinsic,
+        image_sizes=sc.view_sizes,
+        config=IncrementalConfig(seed=seed),
+    )
+    engine.process()
+    out = engine.to_sfmdata(view_ids=sc.view_ids)
+    # carry over paths/sizes
+    out.view_paths = list(sc.view_paths)
+    sfmdata.save(out, output_sfm)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# prepareDenseScene (undistort)
+# ---------------------------------------------------------------------------
+
+
+def prepare_dense_scene(input_sfm: str, output_folder: str) -> None:
+    """Undistorted grayscale images for MVS (main_prepareDenseScene.cpp)."""
+    import jax.numpy as jnp
+
+    from ..image.filtering import bilinear_sample
+
+    sc = sfmdata.load(input_sfm)
+    _ensure_dir(output_folder)
+    intr = sc.intrinsics_table()
+    for v in sc.valid_views():
+        out = os.path.join(output_folder, f"{int(sc.view_ids[v])}.npy")
+        if os.path.exists(out) or not sc.view_paths[v]:
+            continue
+        img = read_image(sc.view_paths[v], grayscale=True)
+        ii = int(sc.view_intrinsic[v])
+        row = cam.Intrinsics(
+            *[jnp.asarray(np.asarray(x)[ii]) for x in intr]
+        )
+        H, W = img.shape
+        ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+        pix = jnp.asarray(np.stack([xs, ys], -1).reshape(-1, 2))
+        # undistorted pixel -> distorted source pixel
+        p = cam.ima2cam(row, pix)
+        pd = cam.add_distortion(row.disto_kind, row.disto, p)
+        src = cam.cam2ima(row, pd)
+        vals = bilinear_sample(jnp.asarray(img), src)
+        write_image(out, np.asarray(vals).reshape(H, W))
+
+
+# ---------------------------------------------------------------------------
+# depthMapEstimation / Filtering / meshing(point cloud)
+# ---------------------------------------------------------------------------
+
+
+def depth_map_estimation(
+    input_sfm: str,
+    images_folder: str,
+    output_folder: str,
+    n_depths: int = 96,
+    n_tcams: int = 4,
+    downscale: int = 2,
+    range_start: int = 0,
+    range_size: int = -1,
+) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ..mvs import plane_sweep as ps
+    from ..mvs.fusion import depth_range_from_landmarks
+
+    sc = sfmdata.load(input_sfm)
+    _ensure_dir(output_folder)
+    valid = sc.valid_views()
+    end = len(valid) if range_size < 0 else min(len(valid), range_start + range_size)
+
+    # camera tables
+    K_all, R_all, c_all, imgs = {}, {}, {}, {}
+    for v in valid:
+        ii = int(sc.view_intrinsic[v])
+        fx, fy = sc.scale[ii] / downscale
+        pp = (sc.offset[ii] + 0.5 * sc.sizes[ii]) / downscale
+        K_all[v] = np.array([[fx, 0, pp[0]], [0, fy, pp[1]], [0, 0, 1.0]], np.float32)
+        p = int(sc.view_pose[v])
+        R_all[v] = sc.pose_R[p].astype(np.float32)
+        c_all[v] = sc.pose_c[p].astype(np.float32)
+        path = os.path.join(images_folder, f"{int(sc.view_ids[v])}.npy")
+        img = read_image(path, grayscale=True)
+        if downscale > 1:
+            img = img[::downscale, ::downscale]
+        imgs[v] = img.astype(np.float32)
+
+    centers = np.stack([c_all[v] for v in valid])
+    for k in range(range_start, end):
+        rc = valid[k]
+        out_d = os.path.join(output_folder, f"{int(sc.view_ids[rc])}_depth.npy")
+        if os.path.exists(out_d):
+            continue
+        # T-cam selection: nearest posed views (MultiViewParams pair selection)
+        d = np.linalg.norm(centers - c_all[rc], axis=1)
+        order = [valid[i] for i in np.argsort(d) if valid[i] != rc][:n_tcams]
+        # relative poses: x_t = R_rel x_ref + t_rel with
+        # x_t = R_t (x_w - c_t), x_w = R_rc^T x_ref + c_rc
+        R_rel = np.stack([R_all[t] @ R_all[rc].T for t in order])
+        t_rel = np.stack([R_all[t] @ (c_all[rc] - c_all[t]) for t in order])
+
+        d_min, d_max = depth_range_from_landmarks(sc.points, R_all[rc], c_all[rc])
+        params = ps.SgmParams(n_depths=n_depths)
+        depth, sim = ps.sgm_depth_map(
+            jnp.asarray(imgs[rc]),
+            jnp.asarray(np.stack([imgs[t] for t in order])),
+            jnp.asarray(K_all[rc]),
+            jnp.asarray(np.stack([K_all[t] for t in order])),
+            jnp.asarray(R_rel.astype(np.float32)),
+            jnp.asarray(t_rel.astype(np.float32)),
+            d_min,
+            d_max,
+            params,
+        )
+        np.save(out_d, np.asarray(depth))
+        np.save(
+            os.path.join(output_folder, f"{int(sc.view_ids[rc])}_sim.npy"),
+            np.asarray(sim),
+        )
+
+
+def depth_map_filtering(
+    input_sfm: str,
+    depth_folder: str,
+    output_folder: str,
+    min_consistent: int = 3,
+    downscale: int = 2,
+) -> None:
+    import jax.numpy as jnp
+
+    from ..mvs.fusion import consistency_filter
+
+    sc = sfmdata.load(input_sfm)
+    _ensure_dir(output_folder)
+    valid = sc.valid_views()
+    depths, Ks, Rs, cs, ids = [], [], [], [], []
+    for v in valid:
+        vid = int(sc.view_ids[v])
+        p = os.path.join(depth_folder, f"{vid}_depth.npy")
+        if not os.path.exists(p):
+            continue
+        depths.append(np.load(p))
+        ii = int(sc.view_intrinsic[v])
+        fx, fy = sc.scale[ii] / downscale
+        pp = (sc.offset[ii] + 0.5 * sc.sizes[ii]) / downscale
+        Ks.append(np.array([[fx, 0, pp[0]], [0, fy, pp[1]], [0, 0, 1.0]], np.float32))
+        pi = int(sc.view_pose[v])
+        Rs.append(sc.pose_R[pi].astype(np.float32))
+        cs.append(sc.pose_c[pi].astype(np.float32))
+        ids.append(vid)
+    if not depths:
+        return
+    filt, counts = consistency_filter(
+        jnp.asarray(np.stack(depths)),
+        jnp.asarray(np.stack(Ks)),
+        jnp.asarray(np.stack(Rs)),
+        jnp.asarray(np.stack(cs)),
+        min_consistent=min_consistent,
+    )
+    filt = np.asarray(filt)
+    for i, vid in enumerate(ids):
+        np.save(os.path.join(output_folder, f"{vid}_depth.npy"), filt[i])
+
+
+def meshing_point_cloud(
+    input_sfm: str,
+    depth_folder: str,
+    output_ply: str,
+    voxel_size: float = 0.0,
+    downscale: int = 2,
+) -> np.ndarray:
+    from ..mvs.fusion import fuse_point_cloud
+
+    sc = sfmdata.load(input_sfm)
+    valid = sc.valid_views()
+    depths, Ks, Rs, cs = [], [], [], []
+    for v in valid:
+        p = os.path.join(depth_folder, f"{int(sc.view_ids[v])}_depth.npy")
+        if not os.path.exists(p):
+            continue
+        depths.append(np.load(p))
+        ii = int(sc.view_intrinsic[v])
+        fx, fy = sc.scale[ii] / downscale
+        pp = (sc.offset[ii] + 0.5 * sc.sizes[ii]) / downscale
+        Ks.append(np.array([[fx, 0, pp[0]], [0, fy, pp[1]], [0, 0, 1.0]]))
+        pi = int(sc.view_pose[v])
+        Rs.append(sc.pose_R[pi])
+        cs.append(sc.pose_c[pi])
+    pts, cols, views = fuse_point_cloud(
+        np.stack(depths), None, np.stack(Ks), np.stack(Rs), np.stack(cs),
+        voxel_size=voxel_size,
+    )
+    # write PLY
+    with open(output_ply, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\n"
+            f"element vertex {len(pts)}\n"
+            "property double x\nproperty double y\nproperty double z\n"
+            "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            "end_header\n"
+        )
+        for p, c in zip(pts, cols):
+            f.write(f"{p[0]} {p[1]} {p[2]} {c[0]} {c[1]} {c[2]}\n")
+    return pts

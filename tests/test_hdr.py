@@ -1,0 +1,75 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alicevision_tpu import hdr
+
+
+def _synthetic_brackets(phi=0.3, B=5, H=32, W=48, seed=0):
+    """Ground-truth radiance -> brackets through a Laguerre response."""
+    rng = np.random.RandomState(seed)
+    E = rng.rand(H, W).astype(np.float32) * 2.0 + 0.01  # radiance
+    exposures = np.array([1 / 16, 1 / 4, 1.0, 4.0, 16.0][:B], np.float32) * 0.25
+    imgs = []
+    for dt in exposures:
+        linear = np.clip(E * dt, 0, 1)
+        z = np.asarray(hdr.laguerre_apply(jnp.asarray(phi), jnp.asarray(linear)))
+        imgs.append(z)
+    return np.stack(imgs), exposures, E
+
+
+def test_laguerre_inverse_roundtrip():
+    x = jnp.linspace(0.01, 0.99, 64)
+    for phi in (-0.5, 0.0, 0.4):
+        y = hdr.laguerre_apply(jnp.asarray(phi), x)
+        back = hdr.laguerre_apply(jnp.asarray(-phi), y)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+
+def test_laguerre_calibration_recovers_phi():
+    phi_gt = 0.35
+    imgs, exposures, E = _synthetic_brackets(phi=phi_gt)
+    idx = hdr.sample_bracket_pixels(imgs, 500)
+    samples = jnp.asarray(imgs.reshape(len(imgs), -1)[:, idx])
+    phi = hdr.laguerre_calibrate(samples, jnp.asarray(exposures))
+    assert abs(float(phi) - phi_gt) < 0.05, float(phi)
+
+
+def test_debevec_monotone_response():
+    imgs, exposures, E = _synthetic_brackets(phi=0.0)
+    idx = hdr.sample_bracket_pixels(imgs, 300)
+    samples = jnp.asarray(imgs.reshape(len(imgs), -1)[:, idx])
+    resp = hdr.debevec_calibrate(samples, jnp.asarray(exposures))
+    g = np.asarray(resp.g)
+    # monotone non-decreasing over the well-exposed range, ~log shape
+    mid = g[30:226]
+    assert (np.diff(mid) > -1e-3).mean() > 0.97
+    # linear response -> g approximates ln(z) + const
+    zs = np.arange(30, 226) / 255.0
+    corr = np.corrcoef(mid, np.log(zs))[0, 1]
+    assert corr > 0.99
+
+
+def test_merge_recovers_radiance():
+    phi_gt = 0.3
+    imgs, exposures, E = _synthetic_brackets(phi=phi_gt)
+    merged = hdr.merge_hdr(jnp.asarray(imgs), jnp.asarray(exposures), phi=phi_gt)
+    m = np.asarray(merged)
+    # compare where at least one bracket is well exposed
+    ok = ((imgs > 0.05) & (imgs < 0.95)).any(0)
+    rel = np.abs(m[ok] - E[ok]) / E[ok]
+    assert np.median(rel) < 0.02, np.median(rel)
+
+
+def test_merge_highlight_fallback():
+    E = np.full((8, 8), 100.0, np.float32)  # blinding radiance
+    exposures = np.array([0.25, 1.0, 4.0], np.float32)
+    imgs = np.stack([np.clip(E * dt, 0, 1) for dt in exposures])
+    merged = np.asarray(hdr.merge_hdr(jnp.asarray(imgs), jnp.asarray(exposures)))
+    # saturated everywhere -> fallback to shortest-exposure estimate (>= 4)
+    assert (merged >= 3.9).all()
+
+
+def test_estimate_brackets():
+    groups = hdr.estimate_brackets(np.array([1, 2, 4, 1, 2, 4]), 3)
+    assert groups == [[0, 1, 2], [3, 4, 5]]

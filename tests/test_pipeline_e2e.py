@@ -1,0 +1,107 @@
+"""Full pipeline integration test: rendered images -> CLI stages -> poses +
+dense point cloud. This covers the complete stage chain of SURVEY.md §3.6
+on real (synthetic-rendered) images, end to end."""
+
+import os
+
+import numpy as np
+import pytest
+
+from alicevision_tpu.pipeline import stages
+from alicevision_tpu.utils.render import make_test_dataset
+from alicevision_tpu import sfmdata
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    K, R_gt, c_gt = make_test_dataset(str(d), n_views=5, wh=(480, 360), focal=400.0)
+    return str(d), K, R_gt, c_gt
+
+
+@pytest.fixture(scope="module")
+def work(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("work"))
+
+
+def test_full_pipeline(dataset, work):
+    img_dir, K, R_gt, c_gt = dataset
+    scene = os.path.join(work, "cameraInit.sfm")
+    stages.camera_init(img_dir, scene, default_focal_px=400.0)
+    sc = sfmdata.load(scene)
+    assert sc.n_views == 5
+
+    feats = os.path.join(work, "features")
+    stages.feature_extraction(scene, feats, max_keypoints=2048, downscale_to=0)
+    f0 = stages.load_features(feats, int(sc.view_ids[0]))
+    assert f0["valid"].sum() > 300
+
+    pairs_f = os.path.join(work, "pairs.txt")
+    pairs = stages.image_matching(scene, feats, pairs_f, method="exhaustive")
+    assert len(pairs) == 10
+
+    matches_f = os.path.join(work, "matches.npz")
+    stages.feature_matching(scene, feats, pairs_f, matches_f)
+    m = stages.load_matches(matches_f)
+    total = sum(len(v) for v in m.values())
+    assert total > 500, total
+
+    sfm_out = os.path.join(work, "sfm.sfm")
+    out = stages.incremental_sfm(scene, feats, matches_f, sfm_out)
+    assert out.n_poses >= 4, out.n_poses
+    assert out.n_landmarks > 100
+
+    # similarity-align centers to GT and check ATE
+    posed_ids = [int(v) for v in out.pose_ids]
+    id2idx = {int(vid): i for i, vid in enumerate(out.view_ids)}
+    est = out.pose_c
+    gt = np.stack([c_gt[id2idx[pid] if pid in id2idx else 0] for pid in posed_ids])
+    # note: view ids are 1-based order of files = render order
+    gt = np.stack([c_gt[pid - 1] for pid in posed_ids])
+    mu_a, mu_b = est.mean(0), gt.mean(0)
+    Hm = (gt - mu_b).T @ (est - mu_a) / len(est)
+    U, S, Vt = np.linalg.svd(Hm)
+    D = np.eye(3)
+    if np.linalg.det(U @ Vt) < 0:
+        D[2, 2] = -1
+    R = U @ D @ Vt
+    s = np.trace(np.diag(S) @ D) / ((est - mu_a) ** 2).sum() * len(est)
+    ate = np.sqrt(np.mean(np.sum((est @ (s * R).T + mu_b - s * R @ mu_a - gt) ** 2, 1)))
+    assert ate < 0.1, ate  # scene scale ~5
+
+
+def test_mvs_stages(dataset, work):
+    """Depth estimation + filtering + fusion on the SfM output."""
+    sfm_out = os.path.join(work, "sfm.sfm")
+    if not os.path.exists(sfm_out):
+        pytest.skip("sfm stage did not run")
+    dense = os.path.join(work, "dense")
+    stages.prepare_dense_scene(sfm_out, dense)
+    assert len(os.listdir(dense)) >= 4
+
+    depth = os.path.join(work, "depth")
+    stages.depth_map_estimation(sfm_out, dense, depth, n_depths=64, downscale=2)
+    dfiles = [f for f in os.listdir(depth) if f.endswith("_depth.npy")]
+    assert len(dfiles) >= 4
+    d0 = np.load(os.path.join(depth, dfiles[0]))
+    assert (d0 > 0).mean() > 0.5
+
+    depthf = os.path.join(work, "depth_filtered")
+    stages.depth_map_filtering(sfm_out, depth, depthf, min_consistent=2)
+
+    cloud = os.path.join(work, "cloud.ply")
+    pts = stages.meshing_point_cloud(sfm_out, depthf, cloud, voxel_size=0.0)
+    assert len(pts) > 5000
+    assert os.path.exists(cloud)
+
+
+def test_cli_entry(dataset, tmp_path):
+    """The argparse CLI wires to the same stages."""
+    from alicevision_tpu.pipeline.cli import main
+
+    img_dir, *_ = dataset
+    out = str(tmp_path / "scene.sfm")
+    rc = main(["cameraInit", "--imageFolder", img_dir, "--output", out,
+               "--defaultFocalPx", "400"])
+    assert rc == 0
+    assert os.path.exists(out)
