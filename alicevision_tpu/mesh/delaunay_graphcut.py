@@ -1,0 +1,162 @@
+"""Delaunay tetrahedralization + visibility graph-cut surface extraction.
+
+TPU-native counterpart of the reference's fuseCut stack
+(ref: src/aliceVision/fuseCut/Tetrahedralization.cpp:22-23 Geogram Delaunay,
+GraphFiller.cpp:66-256 visibility votes + weak-surface handling,
+MaxFlow_AdjList.hpp boykov-kolmogorov s-t mincut, Mesher.cpp:543+ facet
+extraction). Irregular geometry stays host-side (scipy.spatial.Delaunay +
+scipy.sparse.csgraph.maximum_flow), exactly as the reference keeps it on
+CPU libraries; the *votes* are computed by batched segment sampling:
+each visibility ray is sampled at sub-cell density and `find_simplex` is
+called on the whole batch — replacing the per-ray tet-walk with two
+vectorized queries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.sparse import coo_matrix
+from scipy.sparse.csgraph import maximum_flow
+from scipy.spatial import Delaunay
+
+
+def tetrahedralize(points: np.ndarray) -> Delaunay:
+    """Delaunay of the fused cloud (Tetrahedralization equivalent)."""
+    return Delaunay(points, qhull_options="QJ")  # joggle degenerate input
+
+
+def _segment_cells(tri: Delaunay, a: np.ndarray, b: np.ndarray, n_samples: int):
+    """Cells crossed by segments a->b (N, 3 each), by batched sampling.
+
+    Cameras usually sit outside the convex hull, so uniform sampling along
+    the segment wastes almost all queries — concentrate samples toward the
+    target (quadratic spacing) with a small uniform prefix for carving.
+    Returns (N, n_samples) simplex ids (-1 outside hull)."""
+    n_near = (3 * n_samples) // 4
+    ts_near = 1.0 - 0.25 * np.linspace(0.0, 1.0, n_near) ** 2  # (0.75, 1.0]
+    ts_far = np.linspace(0.05, 0.75, n_samples - n_near)
+    ts = np.concatenate([ts_far, ts_near[::-1]])[None, :, None]
+    pts = a[:, None, :] * (1 - ts) + b[:, None, :] * ts  # (N, S, 3)
+    simp = tri.find_simplex(pts.reshape(-1, 3).astype(np.float64))
+    return simp.reshape(len(a), n_samples)
+
+
+def graph_cut_surface(
+    points: np.ndarray,  # (P, 3) fused cloud
+    vis_point: np.ndarray,  # (K,) point index of each visibility link
+    vis_cam_center: np.ndarray,  # (K, 3) camera center of the link
+    n_ray_samples: int = 24,
+    behind_frac: float = 0.02,
+    lambda_smooth: float = 0.5,
+    capacity_scale: float = 100.0,
+    empty_gain: float = 8.0,
+):
+    """Extract the watertight-ish surface between empty and full space.
+
+    Votes (GraphFiller semantics): cells crossed by a camera->point ray get
+    EMPTY (source) capacity; the cell just behind the point along the ray
+    gets FULL (sink) capacity. Facets between adjacent cells get a constant
+    smoothness capacity; the s-t mincut labels cells and the surface is the
+    set of facets between different labels.
+
+    Returns (vertices (V, 3), faces (F, 3) int32).
+    """
+    tri = tetrahedralize(points)
+    n_cells = len(tri.simplices)
+
+    # --- accumulate votes -------------------------------------------------
+    a = vis_cam_center.astype(np.float64)
+    b = points[vis_point].astype(np.float64)
+    crossed = _segment_cells(tri, a, b * 0.999 + a * 0.001, n_ray_samples)
+
+    empty_votes = np.zeros(n_cells, np.float64)
+    for s in range(n_ray_samples):
+        col = crossed[:, s]
+        ok = col >= 0
+        np.add.at(empty_votes, col[ok], empty_gain / n_ray_samples)
+
+    # cell just behind each point
+    behind_pts = b + (b - a) * behind_frac
+    behind = tri.find_simplex(behind_pts)
+    full_votes = np.zeros(n_cells, np.float64)
+    ok = behind >= 0
+    np.add.at(full_votes, behind[ok], 1.0)
+
+    # --- build flow graph -------------------------------------------------
+    # nodes: 0 = source(empty), 1 = sink(full), 2.. = cells
+    S, T = 0, 1
+    rows, cols, caps = [], [], []
+
+    def add_edge(u, v, c):
+        rows.append(u)
+        cols.append(v)
+        caps.append(c)
+
+    cap_int = lambda c: max(1, int(c * capacity_scale))
+    for cell in range(n_cells):
+        if empty_votes[cell] > 0:
+            add_edge(S, 2 + cell, cap_int(empty_votes[cell]))
+        if full_votes[cell] > 0:
+            add_edge(2 + cell, T, cap_int(full_votes[cell]))
+
+    # smoothness between neighbouring cells (both directions)
+    nb = tri.neighbors  # (n_cells, 4), -1 = hull boundary
+    lam = cap_int(lambda_smooth)
+    for cell in range(n_cells):
+        for f in range(4):
+            o = nb[cell, f]
+            if o >= 0 and o > cell:
+                add_edge(2 + cell, 2 + o, lam)
+                add_edge(2 + o, 2 + cell, lam)
+            elif o < 0:
+                # hull boundary facets face infinite empty space
+                add_edge(S, 2 + cell, cap_int(0.25))
+
+    n_nodes = 2 + n_cells
+    graph = coo_matrix(
+        (np.array(caps, np.int32), (np.array(rows), np.array(cols))),
+        shape=(n_nodes, n_nodes),
+    ).tocsr()
+    res = maximum_flow(graph, S, T)
+    flow = res.flow  # antisymmetric flow matrix (csr)
+
+    # min-cut partition: BFS from source in the residual graph
+    residual = graph - flow
+    residual.data = np.maximum(residual.data, 0)
+    from scipy.sparse.csgraph import breadth_first_order
+
+    reach = np.zeros(n_nodes, bool)
+    order = breadth_first_order(residual > 0, S, return_predecessors=False)
+    reach[order] = True
+    cell_empty = reach[2:]  # True = empty side
+
+    # --- extract facets between empty and full cells ----------------------
+    faces = []
+    # local facet f of a tet = the 3 vertices excluding vertex f
+    facet_idx = [(1, 2, 3), (0, 2, 3), (0, 1, 3), (0, 1, 2)]
+    for cell in range(n_cells):
+        if not cell_empty[cell]:
+            continue
+        for f in range(4):
+            o = nb[cell, f]
+            if o < 0 or cell_empty[o]:
+                continue
+            v = tri.simplices[cell]
+            tri_face = [v[facet_idx[f][0]], v[facet_idx[f][1]], v[facet_idx[f][2]]]
+            # orient the face so its normal points toward the empty cell
+            p0, p1, p2 = points[tri_face]
+            n = np.cross(p1 - p0, p2 - p0)
+            # vector from face centroid to the opposite vertex of the FULL
+            # cell should be anti-aligned with the outward normal
+            centroid = (p0 + p1 + p2) / 3.0
+            apex = points[v[f]]  # the excluded vertex lies in the EMPTY cell
+            if np.dot(n, apex - centroid) < 0:
+                tri_face = [tri_face[0], tri_face[2], tri_face[1]]
+            faces.append(tri_face)
+
+    faces = np.array(faces, np.int64).reshape(-1, 3)
+    # compact vertices
+    used = np.unique(faces)
+    remap = -np.ones(len(points), np.int64)
+    remap[used] = np.arange(len(used))
+    return points[used], remap[faces].astype(np.int32)

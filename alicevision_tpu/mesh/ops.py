@@ -1,0 +1,139 @@
+"""Mesh operations: smoothing, decimation, cleanup, IO.
+
+TPU-native counterpart of the reference's mesh module
+(ref: src/aliceVision/mesh/MeshEnergyOpt.cpp Laplacian smoothing,
+ModQuadricMetricT.hpp quadric decimation — here grid-clustering decimation,
+MeshClean manifold cleanup — here unreferenced/degenerate removal and
+largest-component filtering, Mesh.hpp OBJ/PLY IO). Vertex updates
+(smoothing) are batched segment ops that run in JAX; connectivity
+manipulation stays host-side numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def laplacian_smooth(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    iterations: int = 5,
+    lam: float = 0.5,
+    mu: float = -0.53,
+) -> np.ndarray:
+    """Taubin lambda/mu smoothing (shrinkage-compensated umbrella operator,
+    the spirit of MeshEnergyOpt's smoothing). mu=0 gives plain Laplacian."""
+    import jax.numpy as jnp
+
+    V = len(vertices)
+    e = np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]],
+         faces[:, [1, 0]], faces[:, [2, 1]], faces[:, [0, 2]]]
+    )
+    src = jnp.asarray(e[:, 0])
+    dst = jnp.asarray(e[:, 1])
+    deg = jnp.zeros((V,)).at[src].add(1.0)
+
+    def step(x, k):
+        nbr_sum = jnp.zeros((V, 3)).at[src].add(x[dst])
+        mean = nbr_sum / deg[:, None].clip(1.0)
+        return jnp.where(deg[:, None] > 0, x + k * (mean - x), x)
+
+    x = jnp.asarray(vertices)
+    for _ in range(iterations):
+        x = step(x, lam)
+        if mu != 0.0:
+            x = step(x, mu)
+    return np.asarray(x)
+
+
+def decimate_grid(
+    vertices: np.ndarray, faces: np.ndarray, cell_size: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vertex-clustering decimation on a voxel grid (meshDecimate analog).
+
+    Each occupied cell collapses to the centroid of its vertices; faces with
+    repeated clusters are dropped."""
+    keys = np.floor(vertices / cell_size).astype(np.int64)
+    h = keys[:, 0] * 73856093 ^ keys[:, 1] * 19349663 ^ keys[:, 2] * 83492791
+    uniq, inv = np.unique(h, return_inverse=True)
+    n = len(uniq)
+    sums = np.zeros((n, 3))
+    cnts = np.zeros(n)
+    np.add.at(sums, inv, vertices)
+    np.add.at(cnts, inv, 1.0)
+    new_v = sums / cnts[:, None]
+    nf = inv[faces]
+    keep = (
+        (nf[:, 0] != nf[:, 1]) & (nf[:, 1] != nf[:, 2]) & (nf[:, 0] != nf[:, 2])
+    )
+    return new_v, nf[keep].astype(np.int32)
+
+
+def largest_component(
+    vertices: np.ndarray, faces: np.ndarray, keep_ratio: float = 0.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Keep the largest connected face component (and any component above
+    keep_ratio x its size) — the Mesher's small-segment removal."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    V = len(vertices)
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    g = coo_matrix((np.ones(len(e)), (e[:, 0], e[:, 1])), shape=(V, V))
+    n_comp, label = connected_components(g, directed=False)
+    if n_comp <= 1:
+        return vertices, faces
+    sizes = np.bincount(label, minlength=n_comp)
+    main = sizes.argmax()
+    ok_comp = np.zeros(n_comp, bool)
+    ok_comp[main] = True
+    if keep_ratio > 0:
+        ok_comp |= sizes >= keep_ratio * sizes[main]
+    keep_face = ok_comp[label[faces[:, 0]]]
+    return compact(vertices, faces[keep_face])
+
+
+def compact(vertices: np.ndarray, faces: np.ndarray):
+    """Drop unreferenced vertices and reindex faces."""
+    used = np.unique(faces)
+    remap = -np.ones(len(vertices), np.int64)
+    remap[used] = np.arange(len(used))
+    return vertices[used], remap[faces].astype(np.int32)
+
+
+def vertex_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted per-vertex normals (batched accumulation)."""
+    p0, p1, p2 = (vertices[faces[:, i]] for i in range(3))
+    fn = np.cross(p1 - p0, p2 - p0)  # area-weighted
+    vn = np.zeros_like(vertices)
+    for i in range(3):
+        np.add.at(vn, faces[:, i], fn)
+    norm = np.linalg.norm(vn, axis=-1, keepdims=True)
+    return vn / np.maximum(norm, 1e-12)
+
+
+def save_obj(path: str, vertices: np.ndarray, faces: np.ndarray, colors=None):
+    with open(path, "w") as f:
+        if colors is not None:
+            for v, c in zip(vertices, colors):
+                f.write(f"v {v[0]} {v[1]} {v[2]} {c[0]/255} {c[1]/255} {c[2]/255}\n")
+        else:
+            for v in vertices:
+                f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for t in faces:
+            f.write(f"f {t[0]+1} {t[1]+1} {t[2]+1}\n")
+
+
+def load_obj(path: str):
+    vs, fs = [], []
+    with open(path) as f:
+        for line in f:
+            p = line.split()
+            if not p:
+                continue
+            if p[0] == "v":
+                vs.append([float(x) for x in p[1:4]])
+            elif p[0] == "f":
+                fs.append([int(x.split("/")[0]) - 1 for x in p[1:4]])
+    return np.array(vs), np.array(fs, np.int32)

@@ -110,6 +110,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--downscale", type=int, default=2)
     _add_common(p)
 
+    p = sub.add_parser("meshSurface")
+    p.add_argument("--input", required=True)
+    p.add_argument("--depth", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--images", default=None, help="undistorted images for color bake")
+    p.add_argument("--voxelSize", type=float, default=0.0)
+    p.add_argument("--downscale", type=int, default=2)
+    p.add_argument("--maxPoints", type=int, default=50000)
+    _add_common(p)
+
+    p = sub.add_parser("meshFiltering")
+    p.add_argument("--input", required=True, help="input .obj")
+    p.add_argument("--output", required=True)
+    p.add_argument("--smoothIters", type=int, default=5)
+    p.add_argument("--keepRatio", type=float, default=0.0)
+    _add_common(p)
+
+    p = sub.add_parser("meshDecimate")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--cellSize", type=float, required=True)
+    _add_common(p)
+
     p = sub.add_parser("convertSfMFormat")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
@@ -170,6 +193,24 @@ def main(argv=None) -> int:
         stages.meshing_point_cloud(
             args.input, args.depth, args.output, args.voxelSize, args.downscale
         )
+    elif args.cmd == "meshSurface":
+        stages.meshing_surface(
+            args.input, args.depth, args.output, args.voxelSize, args.downscale,
+            args.maxPoints, images_folder=args.images,
+        )
+    elif args.cmd == "meshFiltering":
+        from ..mesh import laplacian_smooth, largest_component, load_obj, save_obj
+
+        v, f = load_obj(args.input)
+        v, f = largest_component(v, f, keep_ratio=args.keepRatio)
+        v = laplacian_smooth(v, f, iterations=args.smoothIters)
+        save_obj(args.output, v, f)
+    elif args.cmd == "meshDecimate":
+        from ..mesh import decimate_grid, load_obj, save_obj
+
+        v, f = load_obj(args.input)
+        v, f = decimate_grid(v, f, args.cellSize)
+        save_obj(args.output, v, f)
     elif args.cmd == "convertSfMFormat":
         from .. import sfmdata
 

@@ -514,3 +514,67 @@ def meshing_point_cloud(
         for p, c in zip(pts, cols):
             f.write(f"{p[0]} {p[1]} {p[2]} {c[0]} {c[1]} {c[2]}\n")
     return pts
+
+
+def meshing_surface(
+    input_sfm: str,
+    depth_folder: str,
+    output_obj: str,
+    voxel_size: float = 0.0,
+    downscale: int = 2,
+    max_points: int = 50000,
+    smooth_iters: int = 3,
+    images_folder: str | None = None,
+) -> tuple:
+    """Graph-cut surface from fused depth maps (main_meshing equivalent):
+    fuse -> Delaunay + visibility cut -> largest component -> Taubin smooth
+    -> optional per-vertex color bake -> OBJ."""
+    from ..mesh import (
+        bake_vertex_colors,
+        graph_cut_surface,
+        laplacian_smooth,
+        largest_component,
+        save_obj,
+    )
+    from ..mvs.fusion import fuse_point_cloud
+
+    sc = sfmdata.load(input_sfm)
+    valid = sc.valid_views()
+    depths, Ks, Rs, cs, view_rows = [], [], [], [], []
+    for v in valid:
+        p = os.path.join(depth_folder, f"{int(sc.view_ids[v])}_depth.npy")
+        if not os.path.exists(p):
+            continue
+        depths.append(np.load(p))
+        ii = int(sc.view_intrinsic[v])
+        fx, fy = sc.scale[ii] / downscale
+        pp = (sc.offset[ii] + 0.5 * sc.sizes[ii]) / downscale
+        Ks.append(np.array([[fx, 0, pp[0]], [0, fy, pp[1]], [0, 0, 1.0]]))
+        pi = int(sc.view_pose[v])
+        Rs.append(sc.pose_R[pi])
+        cs.append(sc.pose_c[pi])
+        view_rows.append(v)
+    Ks, Rs, cs = np.stack(Ks), np.stack(Rs), np.stack(cs)
+    pts, cols, views = fuse_point_cloud(
+        np.stack(depths), None, Ks, Rs, cs, voxel_size=voxel_size
+    )
+    if len(pts) > max_points:
+        sel = np.random.RandomState(0).choice(len(pts), max_points, replace=False)
+        pts, views = pts[sel], views[sel]
+    verts, faces = graph_cut_surface(pts, np.arange(len(pts)), cs[views])
+    verts, faces = largest_component(verts, faces)
+    if smooth_iters:
+        verts = laplacian_smooth(verts, faces, iterations=smooth_iters)
+    colors = None
+    if images_folder is not None:
+        imgs = []
+        for v in view_rows:
+            path = os.path.join(images_folder, f"{int(sc.view_ids[v])}.npy")
+            img = read_image(path, grayscale=True)
+            if downscale > 1:
+                img = img[::downscale, ::downscale]
+            imgs.append(img)
+        colors = bake_vertex_colors(verts, faces, imgs, Ks, Rs, cs,
+                                    depth_maps=list(np.stack(depths)))
+    save_obj(output_obj, verts, faces, colors)
+    return verts, faces
