@@ -15,8 +15,6 @@ vectorized queries.
 from __future__ import annotations
 
 import numpy as np
-from scipy.sparse import coo_matrix
-from scipy.sparse.csgraph import maximum_flow
 from scipy.spatial import Delaunay
 
 
@@ -82,53 +80,26 @@ def graph_cut_surface(
     ok = behind >= 0
     np.add.at(full_votes, behind[ok], 1.0)
 
-    # --- build flow graph -------------------------------------------------
-    # nodes: 0 = source(empty), 1 = sink(full), 2.. = cells
-    S, T = 0, 1
-    rows, cols, caps = [], [], []
+    # --- build flow graph + cut (native BK-style solver, float caps) ------
+    from .. import native
 
-    def add_edge(u, v, c):
-        rows.append(u)
-        cols.append(v)
-        caps.append(c)
-
-    cap_int = lambda c: max(1, int(c * capacity_scale))
-    for cell in range(n_cells):
-        if empty_votes[cell] > 0:
-            add_edge(S, 2 + cell, cap_int(empty_votes[cell]))
-        if full_votes[cell] > 0:
-            add_edge(2 + cell, T, cap_int(full_votes[cell]))
-
-    # smoothness between neighbouring cells (both directions)
     nb = tri.neighbors  # (n_cells, 4), -1 = hull boundary
-    lam = cap_int(lambda_smooth)
+    terminal = empty_votes - full_votes  # >0 source(empty), <0 sink(full)
+    # hull boundary facets face infinite empty space
+    hull_bonus = 0.25 * (nb < 0).sum(axis=1)
+    terminal = terminal + hull_bonus
+
+    eu, ev = [], []
     for cell in range(n_cells):
         for f in range(4):
             o = nb[cell, f]
-            if o >= 0 and o > cell:
-                add_edge(2 + cell, 2 + o, lam)
-                add_edge(2 + o, 2 + cell, lam)
-            elif o < 0:
-                # hull boundary facets face infinite empty space
-                add_edge(S, 2 + cell, cap_int(0.25))
-
-    n_nodes = 2 + n_cells
-    graph = coo_matrix(
-        (np.array(caps, np.int32), (np.array(rows), np.array(cols))),
-        shape=(n_nodes, n_nodes),
-    ).tocsr()
-    res = maximum_flow(graph, S, T)
-    flow = res.flow  # antisymmetric flow matrix (csr)
-
-    # min-cut partition: BFS from source in the residual graph
-    residual = graph - flow
-    residual.data = np.maximum(residual.data, 0)
-    from scipy.sparse.csgraph import breadth_first_order
-
-    reach = np.zeros(n_nodes, bool)
-    order = breadth_first_order(residual > 0, S, return_predecessors=False)
-    reach[order] = True
-    cell_empty = reach[2:]  # True = empty side
+            if o > cell:
+                eu.append(cell)
+                ev.append(o)
+    eu = np.array(eu, np.int64)
+    ev = np.array(ev, np.int64)
+    lam = np.full(len(eu), lambda_smooth)
+    _, cell_empty = native.maxflow(n_cells, eu, ev, lam, lam, terminal)
 
     # --- extract facets between empty and full cells ----------------------
     faces = []

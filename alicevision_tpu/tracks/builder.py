@@ -3,9 +3,10 @@
 TPU-native counterpart of the reference's union-find track builder
 (ref: src/aliceVision/track/TracksBuilder.cpp:10-22, TracksBuilder.hpp:45-64,
 tracksUtils.cpp). Union-find over (view, feature) nodes is irregular
-pointer-chasing — it stays on the host in vectorized numpy (path-halving
-union-find), exactly as the reference keeps it on lemon rather than CUDA.
-The *output* is the flat SoA observation block that the TPU kernels consume.
+pointer-chasing — it runs in the native C++ runtime
+(alicevision_tpu/native, path-halving + union-by-size), exactly as the
+reference keeps it on lemon rather than CUDA. The *output* is the flat SoA
+observation block that the TPU kernels consume.
 
 Fork filtering matches the reference: any track containing two features in
 the same view is dropped (TracksBuilder "filter").
@@ -29,35 +30,6 @@ class Tracks(NamedTuple):
         return np.bincount(self.track_ids, minlength=self.n_tracks)
 
 
-class _UnionFind:
-    """Vectorized-ish union-find with path halving."""
-
-    def __init__(self, n: int):
-        self.parent = np.arange(n, dtype=np.int64)
-
-    def find(self, x: np.ndarray) -> np.ndarray:
-        p = self.parent
-        x = np.asarray(x, np.int64)
-        while True:
-            px = p[x]
-            done = px == x
-            if done.all():
-                return x
-            p[x] = p[px]  # path halving
-            x = px
-
-    def union(self, a: np.ndarray, b: np.ndarray) -> None:
-        # Sequential unions (order matters); loop is O(E) with tiny constants.
-        for x, y in zip(self.find(a), self.find(b)):
-            rx, ry = x, y
-            while self.parent[rx] != rx:
-                rx = self.parent[rx]
-            while self.parent[ry] != ry:
-                ry = self.parent[ry]
-            if rx != ry:
-                self.parent[max(rx, ry)] = min(rx, ry)
-
-
 def build_tracks(
     pair_matches: dict,
     n_features_per_view: dict,
@@ -75,27 +47,32 @@ def build_tracks(
         offsets[v] = total
         total += int(n_features_per_view[v])
 
-    uf = _UnionFind(total)
-    for (vi, vj), m in pair_matches.items():
-        m = np.asarray(m)
-        if len(m) == 0:
-            continue
-        uf.union(offsets[vi] + m[:, 0], offsets[vj] + m[:, 1])
-
-    # Collect components over nodes that appear in at least one match.
+    # Flatten all match edges once, then run the native C++ union-find
+    # (alicevision_tpu/native — the lemon-unionfind equivalent); the module
+    # falls back to scipy connected_components without a compiler.
+    ea, eb = [], []
     used = np.zeros(total, bool)
     for (vi, vj), m in pair_matches.items():
         m = np.asarray(m)
         if len(m) == 0:
             continue
-        used[offsets[vi] + m[:, 0]] = True
-        used[offsets[vj] + m[:, 1]] = True
+        na = offsets[vi] + m[:, 0]
+        nb = offsets[vj] + m[:, 1]
+        ea.append(na)
+        eb.append(nb)
+        used[na] = True
+        used[nb] = True
     nodes = np.nonzero(used)[0]
     if len(nodes) == 0:
         return Tracks(
             np.zeros(0, np.int32), np.zeros(0, np.int32), np.zeros(0, np.int32), 0
         )
-    roots = uf.find(nodes)
+    from .. import native
+
+    all_roots = native.connected_components(
+        np.concatenate(ea), np.concatenate(eb), total
+    )
+    roots = all_roots[nodes]
 
     # Map node -> (view, feature).
     view_of = np.zeros(total, np.int32)
