@@ -24,6 +24,8 @@ Usage examples:
 from __future__ import annotations
 
 import argparse
+import json
+import os
 import sys
 import time
 
@@ -147,6 +149,73 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--defaultFocalPx", type=float, default=None)
     _add_common(p)
 
+    # ---- utils / convert / export stages --------------------------------
+    p = sub.add_parser("sfmTransform")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--method", default="auto", choices=["auto", "from_poses"])
+    p.add_argument("--reference", default=None, help=".sfm to align onto")
+    p.add_argument("--scale", type=float, default=1.0)
+    _add_common(p)
+
+    p = sub.add_parser("qualityEvaluation")
+    p.add_argument("--input", required=True)
+    p.add_argument("--groundTruth", required=True)
+    _add_common(p)
+
+    p = sub.add_parser("exportColmap")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    _add_common(p)
+
+    p = sub.add_parser("sfmStatistics")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", default=None, help="HTML report path")
+    _add_common(p)
+
+    p = sub.add_parser("split360Images")
+    p.add_argument("--input", required=True, help="equirect image")
+    p.add_argument("--output", required=True, help="output folder")
+    p.add_argument("--nbSplits", type=int, default=8)
+    p.add_argument("--fov", type=float, default=90.0)
+    p.add_argument("--outSize", type=int, default=1024)
+    _add_common(p)
+
+    p = sub.add_parser("imageProcessing")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--sharpen", type=float, default=0.0)
+    p.add_argument("--contrast", type=float, default=1.0)
+    p.add_argument("--denoise", action="store_true")
+    _add_common(p)
+
+    p = sub.add_parser("imageSegmentation")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True, help="mask png")
+    p.add_argument("--threshold", type=float, default=0.35)
+    _add_common(p)
+
+    p = sub.add_parser("keyframeSelection")
+    p.add_argument("--inputFolder", required=True, help="frame folder")
+    p.add_argument("--output", required=True, help="selected list file")
+    p.add_argument("--method", default="smart", choices=["smart", "regular"])
+    p.add_argument("--step", type=int, default=10)
+    _add_common(p)
+
+    p = sub.add_parser("ldrToHdrMerge")
+    p.add_argument("--inputFolder", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--nbBrackets", type=int, default=3)
+    _add_common(p)
+
+    p = sub.add_parser("checkerboardCalibration")
+    p.add_argument("--inputFolder", required=True)
+    p.add_argument("--output", required=True, help="calibration json")
+    p.add_argument("--rows", type=int, required=True)
+    p.add_argument("--cols", type=int, required=True)
+    _add_common(p)
+
     return ap
 
 
@@ -226,6 +295,173 @@ def main(argv=None) -> int:
             skip_mvs=args.skipMvs,
             default_focal_px=args.defaultFocalPx,
         )
+    elif args.cmd == "sfmTransform":
+        from .. import sfmdata
+        from ..sfm import alignment as al
+
+        sc = sfmdata.load(args.input)
+        if args.method == "from_poses" and args.reference:
+            al.align_to_scene(sc, sfmdata.load(args.reference))
+        else:
+            al.auto_center_scale(sc, target_extent=args.scale)
+        sfmdata.save(sc, args.output)
+    elif args.cmd == "qualityEvaluation":
+        from .. import sfmdata
+        from ..sfm.alignment import ate_rmse
+
+        ate = ate_rmse(sfmdata.load(args.input), sfmdata.load(args.groundTruth))
+        print(json.dumps({"ate_rmse": ate}))
+    elif args.cmd == "exportColmap":
+        from .. import sfmdata
+        from ..sfmdata.export import export_colmap
+
+        export_colmap(sfmdata.load(args.input), args.output)
+    elif args.cmd == "sfmStatistics":
+        from .. import sfmdata
+        from ..sfm import statistics as stt
+
+        sc = sfmdata.load(args.input)
+        if args.output:
+            stats = stt.generate_html_report(sc, args.output)
+        else:
+            stats = stt.scene_statistics(sc)
+        print(json.dumps(stats, indent=1))
+    elif args.cmd == "split360Images":
+        import numpy as np
+        import jax.numpy as jnp
+
+        from ..image.io import read_image, write_image
+        from ..image.processing import split_equirect
+
+        pano = read_image(args.input, grayscale=False)
+        imgs, K, Rs = split_equirect(
+            jnp.asarray(pano), n_splits=args.nbSplits, fov_deg=args.fov,
+            out_size=args.outSize,
+        )
+        os.makedirs(args.output, exist_ok=True)
+        for i in range(args.nbSplits):
+            write_image(os.path.join(args.output, f"split_{i:02d}.png"),
+                        np.asarray(imgs[i]))
+        np.savez(os.path.join(args.output, "cameras.npz"), K=np.asarray(K), R=Rs)
+    elif args.cmd == "imageProcessing":
+        import numpy as np
+        import jax.numpy as jnp
+
+        from ..image import processing as ip
+        from ..image.io import read_image, write_image
+
+        img = jnp.asarray(read_image(args.input))
+        if args.scale != 1.0:
+            img = ip.resize(img, args.scale)
+        if args.denoise:
+            img = ip.bilateral_denoise(img)
+        if args.sharpen > 0:
+            img = ip.sharpen(img, args.sharpen)
+        if args.contrast != 1.0:
+            img = ip.adjust_contrast(img, args.contrast)
+        write_image(args.output, np.asarray(img))
+    elif args.cmd == "imageSegmentation":
+        import numpy as np
+
+        from ..image.io import read_image, write_image
+        from ..misc.segmentation import segment_sky
+
+        img = read_image(args.input)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, -1)
+        mask = segment_sky(img, threshold=args.threshold)
+        write_image(args.output, mask.astype(np.float32))
+    elif args.cmd == "keyframeSelection":
+        import numpy as np
+
+        from ..image.io import read_image
+        from ..keyframe import select_keyframes_regular, select_keyframes_smart
+
+        files = sorted(
+            f for f in os.listdir(args.inputFolder)
+            if f.lower().endswith((".jpg", ".png", ".jpeg", ".npy"))
+        )
+        if args.method == "regular":
+            sel = select_keyframes_regular(len(files), args.step)
+        else:
+            frames = [
+                read_image(os.path.join(args.inputFolder, f), grayscale=True)
+                for f in files
+            ]
+            sel = select_keyframes_smart(frames)
+        with open(args.output, "w") as f:
+            for i in sel:
+                f.write(files[i] + "\n")
+    elif args.cmd == "ldrToHdrMerge":
+        import numpy as np
+        import jax.numpy as jnp
+
+        from .. import hdr as hdrm
+        from ..image.io import read_exif, read_image, write_image
+
+        files = sorted(
+            f for f in os.listdir(args.inputFolder)
+            if f.lower().endswith((".jpg", ".png", ".jpeg", ".tif", ".npy"))
+        )
+        imgs = np.stack(
+            [read_image(os.path.join(args.inputFolder, f)) for f in files]
+        )
+        # exposures from EXIF when available, else power-of-4 ladder
+        exps = []
+        for f in files:
+            meta = read_exif(os.path.join(args.inputFolder, f))
+            exps.append(meta.get("exposure_s", 0.0))
+        if not all(e > 0 for e in exps):
+            exps = [4.0**i for i in range(len(files))]
+        groups = hdrm.estimate_brackets(np.array(exps), args.nbBrackets)
+        os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+        for gi, g in enumerate(groups):
+            sub = jnp.asarray(imgs[g])
+            ex = jnp.asarray(np.array(exps)[g], jnp.float32)
+            idx = hdrm.sample_bracket_pixels(
+                imgs[g].mean(-1) if imgs.ndim == 4 else imgs[g], 800
+            )
+            flat = (imgs[g].mean(-1) if imgs.ndim == 4 else imgs[g]).reshape(len(g), -1)
+            phi = hdrm.laguerre_calibrate(jnp.asarray(flat[:, idx]), ex)
+            merged = hdrm.merge_hdr(sub, ex, phi=phi)
+            out = args.output if len(groups) == 1 else args.output.replace(
+                ".", f"_{gi}.", 1
+            )
+            write_image(out, np.asarray(merged))
+    elif args.cmd == "checkerboardCalibration":
+        import numpy as np
+        import jax.numpy as jnp
+
+        from ..calibration import calibrate_zhang, detect_checkerboard
+        from ..image.io import read_image
+
+        files = sorted(
+            f for f in os.listdir(args.inputFolder)
+            if f.lower().endswith((".jpg", ".png", ".jpeg", ".npy"))
+        )
+        grids = []
+        for f in files:
+            img = read_image(os.path.join(args.inputFolder, f), grayscale=True)
+            g = detect_checkerboard(jnp.asarray(img), args.rows, args.cols)
+            if g is not None:
+                grids.append(g)
+        if len(grids) < 3:
+            raise RuntimeError(f"checkerboard found in only {len(grids)} images")
+        obj = np.array(
+            [[i, j] for j in range(args.rows) for i in range(args.cols)], float
+        )
+        res = calibrate_zhang(obj, np.stack(grids))
+        with open(args.output, "w") as f:
+            json.dump(
+                {
+                    "K": res["K"].tolist(),
+                    "dist": res["dist"].tolist(),
+                    "rms": res["rms"],
+                    "n_views": len(grids),
+                },
+                f,
+                indent=1,
+            )
     print(f"[av] {args.cmd} done in {time.time() - t0:.1f}s", file=sys.stderr)
     return 0
 

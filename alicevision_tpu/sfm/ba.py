@@ -298,6 +298,50 @@ def ba_solve(
     )
 
 
+def pose_covariances(problem: BAProblem, cam_q, cam_c, points) -> jnp.ndarray:
+    """Per-camera 6x6 pose covariance from the (undamped) reduced camera
+    system: diag blocks of S^-1 scaled by the residual variance.
+
+    TPU-native counterpart of the reference's uncertainty computation
+    (ref: src/software/utils/main_computeUncertainty.cpp on UncertaintyTE —
+    covariance via Schur-complement inverse). Returns (C, 6, 6).
+    """
+    r, Jc, Jl = _residuals_and_jacobians(problem, cam_q, cam_c, points)
+    m = problem.obs_mask
+    C = cam_q.shape[0]
+    L, K = m.shape
+
+    Jc = Jc * (~problem.cam_fixed)[problem.obs_cam][..., None, None]
+    Jl = Jl * (~problem.point_fixed)[:, None, None, None]
+    Jc = Jc * m.astype(r.dtype)[..., None, None]
+    Jl = Jl * m.astype(r.dtype)[..., None, None]
+
+    V = jnp.einsum("lkri,lkrj->lij", Jl, Jl) + 1e-8 * jnp.eye(3)
+    W = jnp.einsum("lkri,lkrj->lkij", Jc, Jl)
+    Uc_blk = jnp.einsum("lkri,lkrj->lkij", Jc, Jc)
+    flat_cam = problem.obs_cam.reshape(-1)
+    U = jnp.zeros((C, 6, 6), r.dtype).at[flat_cam].add(Uc_blk.reshape(-1, 6, 6))
+
+    V_inv = jnp.linalg.inv(V)
+    Y = jnp.einsum("lkij,ljh->lkih", W, V_inv)
+    pair = jnp.einsum("lkih,lmjh->lkmij", Y, W)
+    ci = jnp.broadcast_to(problem.obs_cam[:, :, None], (L, K, K)).reshape(-1)
+    cj = jnp.broadcast_to(problem.obs_cam[:, None, :], (L, K, K)).reshape(-1)
+    S = jnp.zeros((C, C, 6, 6), r.dtype).at[ci, cj].add(-pair.reshape(-1, 6, 6))
+    S = S.at[jnp.arange(C), jnp.arange(C)].add(U)
+    S_mat = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
+    # fixed cameras have empty rows — regularize so the inverse exists
+    S_mat = S_mat + 1e-6 * jnp.eye(C * 6, dtype=r.dtype)
+    S_inv = jnp.linalg.inv(S_mat)
+
+    # residual variance (2 dof per obs, 6C + 3L params)
+    n_obs = jnp.sum(m)
+    dof = jnp.maximum(2.0 * n_obs - 6.0 * C - 3.0 * L, 1.0)
+    sigma2 = jnp.sum((r * m[..., None]) ** 2) / dof
+    blocks = S_inv.reshape(C, 6, C, 6)
+    return sigma2 * jnp.stack([blocks[i, :, i, :] for i in range(C)])
+
+
 def rms_reprojection_error(problem: BAProblem, cam_q, cam_c, points) -> jnp.ndarray:
     r, _, _ = _residuals_and_jacobians(problem, cam_q, cam_c, points)
     m = problem.obs_mask
