@@ -50,6 +50,12 @@ class IncrementalConfig:
     min_track_inliers_resection: int = 12
     min_pts_init: int = 50
     seed: int = 0
+    # Local BA (ref: useLocalBundleAdjustment + graph distance limit,
+    # ReconstructionEngine_sequentialSfM.hpp): above this many posed views,
+    # cameras beyond local_ba_distance covisibility hops from the newly
+    # added views are held constant during BA.
+    local_ba_min_views: int = 50
+    local_ba_distance: int = 1
 
 
 class IncrementalResult:
@@ -293,7 +299,7 @@ class IncrementalSfM:
     # ------------------------------------------------------------------
     # Bundle adjustment over the full masked problem
     # ------------------------------------------------------------------
-    def bundle_adjust(self, fix_gauge: int = 2):
+    def bundle_adjust(self, fix_gauge: int = 2, new_views=None):
         cfg = self.cfg
         posed_idx = np.nonzero(self.res.posed)[0]
         m = (
@@ -306,6 +312,19 @@ class IncrementalSfM:
         q = geo.mat_to_quat(jnp.asarray(self.res.pose_R, jnp.float32))
         cam_fixed = ~self.res.posed.copy()
         cam_fixed[posed_idx[:fix_gauge]] = True
+        # Local BA on large scenes: hold cameras far from the new views.
+        if (
+            new_views
+            and len(posed_idx) > cfg.local_ba_min_views
+        ):
+            from .local_ba import covisibility_from_table, local_ba_fixed_mask
+
+            edges = covisibility_from_table(self.tbl_view, m)
+            lba_fixed = local_ba_fixed_mask(
+                self.n_views, edges, new_views, self.res.posed,
+                dist_refine=cfg.local_ba_distance,
+            )
+            cam_fixed |= lba_fixed
 
         intr = jax.tree_util.tree_map(jnp.asarray, self.intr_np)
         problem = ba_mod.BAProblem(
@@ -377,19 +396,21 @@ class IncrementalSfM:
             cands = np.argsort(-scores)
             group = [v for v in cands if scores[v] >= 0.75 * best][:group_cap]
             added = 0
+            new_views = []
             for v in group:
                 if self.resect_view(int(v)):
                     added += 1
+                    new_views.append(int(v))
             if added == 0:
                 break
             self.triangulate_all()
-            self.bundle_adjust()
+            self.bundle_adjust(new_views=new_views)
             for _ in range(5):
                 n_bad = self.remove_outliers()
                 if n_bad == 0:
                     break
                 self.triangulate_all()
-                self.bundle_adjust()
+                self.bundle_adjust(new_views=new_views)
         return self.res
 
     # ------------------------------------------------------------------

@@ -17,6 +17,24 @@ from collections import deque
 import numpy as np
 
 
+def covisibility_from_table(
+    tbl_view: np.ndarray, tbl_mask: np.ndarray, min_shared: int = 8
+):
+    """Vectorized covisibility from the (T, K) bucketed track table."""
+    T, K = tbl_view.shape
+    iu, ju = np.triu_indices(K, 1)
+    a = tbl_view[:, iu]  # (T, P)
+    b = tbl_view[:, ju]
+    ok = tbl_mask[:, iu] & tbl_mask[:, ju]
+    lo = np.minimum(a, b)[ok]
+    hi = np.maximum(a, b)[ok]
+    key = lo.astype(np.int64) * (tbl_view.max() + 1) + hi
+    uniq, counts = np.unique(key, return_counts=True)
+    sel = counts >= min_shared
+    base = tbl_view.max() + 1
+    return [(int(k // base), int(k % base)) for k in uniq[sel]]
+
+
 def covisibility_edges(obs_view: np.ndarray, obs_landmark: np.ndarray, min_shared: int = 8):
     """View pairs sharing >= min_shared landmarks (the covisibility graph)."""
     from collections import Counter
