@@ -82,6 +82,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--minTrackLength", type=int, default=2)
     _add_common(p)
 
+    p = sub.add_parser("tracksBuilding")
+    p.add_argument("--input", required=True)
+    p.add_argument("--features", required=True)
+    p.add_argument("--matches", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--minTrackLength", type=int, default=2)
+    _add_common(p)
+
+    p = sub.add_parser("sfmBootstraping")
+    p.add_argument("--input", required=True)
+    p.add_argument("--features", required=True)
+    p.add_argument("--tracks", required=True)
+    p.add_argument("--output", required=True)
+    _add_common(p)
+
+    p = sub.add_parser("sfmExpanding")
+    p.add_argument("--input", required=True)
+    p.add_argument("--features", required=True)
+    p.add_argument("--tracks", required=True)
+    p.add_argument("--output", required=True)
+    _add_common(p)
+
     p = sub.add_parser("prepareDenseScene")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
@@ -247,6 +269,14 @@ def main(argv=None) -> int:
             args.input, args.features, args.matches, args.output,
             args.minTrackLength,
         )
+    elif args.cmd == "tracksBuilding":
+        stages.tracks_building(
+            args.input, args.features, args.matches, args.output, args.minTrackLength
+        )
+    elif args.cmd == "sfmBootstraping":
+        stages.sfm_bootstrapping(args.input, args.features, args.tracks, args.output)
+    elif args.cmd == "sfmExpanding":
+        stages.sfm_expanding(args.input, args.features, args.tracks, args.output)
     elif args.cmd == "prepareDenseScene":
         stages.prepare_dense_scene(args.input, args.output)
     elif args.cmd == "depthMapEstimation":

@@ -322,6 +322,95 @@ def incremental_sfm(
 
 
 # ---------------------------------------------------------------------------
+# modular engine stages (tracksBuilding / sfmBootstraping / sfmExpanding)
+# (ref: src/software/pipeline/main_tracksBuilding.cpp,
+#  main_sfmBootstraping.cpp:307-343, main_sfmExpanding.cpp:206-211)
+# ---------------------------------------------------------------------------
+
+
+def tracks_building(
+    input_sfm: str,
+    features_folder: str,
+    matches_file: str,
+    output_tracks: str,
+    min_track_length: int = 2,
+) -> None:
+    from ..tracks.builder import build_tracks
+
+    sc = sfmdata.load(input_sfm)
+    matches = load_matches(matches_file)
+    nfeat = {
+        v: len(load_features(features_folder, int(sc.view_ids[v]))["xy"])
+        for v in range(sc.n_views)
+    }
+    tr = build_tracks(matches, nfeat, min_track_length=min_track_length)
+    np.savez_compressed(
+        output_tracks,
+        track_ids=tr.track_ids,
+        views=tr.views,
+        features=tr.features,
+        n_tracks=np.int64(tr.n_tracks),
+    )
+
+
+def _engine_from_files(input_sfm, features_folder, tracks_file, seed=0):
+    from ..sfm.incremental import IncrementalConfig, IncrementalSfM
+    from ..tracks.builder import Tracks
+
+    sc = sfmdata.load(input_sfm)
+    with np.load(tracks_file) as z:
+        tr = Tracks(z["track_ids"], z["views"], z["features"], int(z["n_tracks"]))
+    feats = {
+        v: load_features(features_folder, int(sc.view_ids[v]))
+        for v in range(sc.n_views)
+    }
+    engine = IncrementalSfM(
+        tr,
+        {v: feats[v]["xy"] for v in feats},
+        sc.intrinsics_table(),
+        view_intrinsic=sc.view_intrinsic,
+        image_sizes=sc.view_sizes,
+        config=IncrementalConfig(seed=seed),
+    )
+    # SfM-augmentation: adopt any poses already present in the scene.
+    for v in range(sc.n_views):
+        p = int(sc.view_pose[v])
+        if p >= 0:
+            engine.res.pose_R[v] = sc.pose_R[p]
+            engine.res.pose_c[v] = sc.pose_c[p]
+            engine.res.posed[v] = True
+    if engine.res.posed.any():
+        engine.triangulate_all()
+    return sc, engine
+
+
+def sfm_bootstrapping(
+    input_sfm: str, features_folder: str, tracks_file: str, output_sfm: str
+) -> None:
+    from ..sfm.expansion import ExpansionProcess
+
+    sc, engine = _engine_from_files(input_sfm, features_folder, tracks_file)
+    proc = ExpansionProcess(engine)
+    if not proc.bootstrap():
+        raise RuntimeError("bootstrap failed")
+    out = engine.to_sfmdata(view_ids=sc.view_ids)
+    out.view_paths = list(sc.view_paths)
+    sfmdata.save(out, output_sfm)
+
+
+def sfm_expanding(
+    input_sfm: str, features_folder: str, tracks_file: str, output_sfm: str
+) -> None:
+    from ..sfm.expansion import ExpansionProcess
+
+    sc, engine = _engine_from_files(input_sfm, features_folder, tracks_file)
+    ExpansionProcess(engine).process()
+    out = engine.to_sfmdata(view_ids=sc.view_ids)
+    out.view_paths = list(sc.view_paths)
+    sfmdata.save(out, output_sfm)
+
+
+# ---------------------------------------------------------------------------
 # prepareDenseScene (undistort)
 # ---------------------------------------------------------------------------
 
