@@ -231,6 +231,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nbBrackets", type=int, default=3)
     _add_common(p)
 
+    p = sub.add_parser("voctreeCreation")
+    p.add_argument("--features", required=True, help="feature folder")
+    p.add_argument("--input", required=True, help=".sfm with the views")
+    p.add_argument("--output", required=True, help="tree npz")
+    p.add_argument("--branching", type=int, default=8)
+    p.add_argument("--levels", type=int, default=3)
+    _add_common(p)
+
+    p = sub.add_parser("computeUncertainty")
+    p.add_argument("--input", required=True, help="reconstructed .sfm")
+    p.add_argument("--output", required=True, help="covariances npz")
+    _add_common(p)
+
+    p = sub.add_parser("nodalSfM")
+    p.add_argument("--input", required=True)
+    p.add_argument("--features", required=True)
+    p.add_argument("--matches", required=True)
+    p.add_argument("--output", required=True)
+    _add_common(p)
+
     p = sub.add_parser("checkerboardCalibration")
     p.add_argument("--inputFolder", required=True)
     p.add_argument("--output", required=True, help="calibration json")
@@ -458,6 +478,102 @@ def main(argv=None) -> int:
                 ".", f"_{gi}.", 1
             )
             write_image(out, np.asarray(merged))
+    elif args.cmd == "voctreeCreation":
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        from .. import sfmdata
+        from ..matching import voctree as vt
+        from . import stages as st
+
+        sc = sfmdata.load(args.input)
+        descs = []
+        for v in range(sc.n_views):
+            f = st.load_features(args.features, int(sc.view_ids[v]))
+            descs.append(f["desc"][f["valid"]])
+        train = jnp.asarray(np.concatenate(descs))
+        tree = vt.build_voctree(
+            jax.random.PRNGKey(0), train, n_children=args.branching,
+            n_levels=args.levels,
+        )
+        np.savez_compressed(
+            args.output,
+            centers=np.asarray(tree.centers),
+            n_children=args.branching,
+            n_levels=args.levels,
+        )
+    elif args.cmd == "computeUncertainty":
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        from .. import sfmdata
+        from ..geometry.rotations import mat_to_quat
+        from ..sfm import ba as ba_mod
+
+        sc = sfmdata.load(args.input)
+        posed = sc.valid_views()
+        q = np.asarray(mat_to_quat(jnp.asarray(sc.pose_R[sc.view_pose[posed]], jnp.float32)))
+        cam_fixed = np.zeros(len(posed), bool)
+        cam_fixed[:1] = True  # gauge (see pose_covariances note)
+        problem = ba_mod.build_problem(
+            q,
+            sc.pose_c[sc.view_pose[posed]],
+            sc.points,
+            sc.intrinsics_table(),
+            sc.obs_landmark,
+            np.searchsorted(posed, sc.obs_view),
+            sc.view_intrinsic[sc.obs_view],
+            sc.obs_uv,
+            cam_fixed=cam_fixed,
+        )
+        cov = ba_mod.pose_covariances(
+            problem, problem.cam_q, problem.cam_c, problem.points
+        )
+        np.savez_compressed(
+            args.output,
+            view_ids=sc.view_ids[posed],
+            covariances=np.asarray(cov),
+        )
+        print(json.dumps({
+            "mean_trace": float(np.trace(np.asarray(cov), axis1=1, axis2=2).mean())
+        }))
+    elif args.cmd == "nodalSfM":
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        from .. import sfmdata
+        from ..sfm.rotation_sfm import RotationSfM
+        from . import stages as st
+
+        sc = sfmdata.load(args.input)
+        matches = st.load_matches(args.matches)
+        intr = sc.intrinsics_table()
+        pair_bearings = {}
+        for (i, j), m in matches.items():
+            fi = st.load_features(args.features, int(sc.view_ids[i]))
+            fj = st.load_features(args.features, int(sc.view_ids[j]))
+            from .. import camera as camm
+
+            def bearings(f, v):
+                ii = int(sc.view_intrinsic[v])
+                row = jax.tree_util.tree_map(lambda a: jnp.asarray(np.asarray(a)[ii]), intr)
+                return np.asarray(camm.backproject_ray(row, jnp.asarray(f)))
+
+            pair_bearings[(i, j)] = (
+                bearings(fi["xy"][m[:, 0]], i),
+                bearings(fj["xy"][m[:, 1]], j),
+            )
+        eng = RotationSfM(
+            sc.n_views, float(np.mean(sc.scale)),
+            (float(sc.sizes[0, 0]), float(sc.sizes[0, 1])),
+        )
+        R, counts = eng.run(jax.random.PRNGKey(0), pair_bearings)
+        for v in range(sc.n_views):
+            sc.set_pose(v, R[v], np.zeros(3))
+        sfmdata.save(sc, args.output)
     elif args.cmd == "checkerboardCalibration":
         import numpy as np
         import jax.numpy as jnp

@@ -349,9 +349,13 @@ def pose_covariances(problem: BAProblem, cam_q, cam_c, points) -> jnp.ndarray:
     S = jnp.zeros((C, C, 6, 6), r.dtype).at[ci, cj].add(-pair.reshape(-1, 6, 6))
     S = S.at[jnp.arange(C), jnp.arange(C)].add(U)
     S_mat = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
-    # fixed cameras have empty rows — regularize so the inverse exists
+    # fixed cameras have empty rows — regularize so the inverse exists.
+    # NOTE: with no cam_fixed gauge (7-dof similarity nullspace) the result
+    # is only defined up to that regularization — fix >= 1 pose for
+    # meaningful absolute covariances (as UncertaintyTE does).
     S_mat = S_mat + 1e-6 * jnp.eye(C * 6, dtype=r.dtype)
     S_inv = jnp.linalg.inv(S_mat)
+    S_inv = 0.5 * (S_inv + S_inv.T)  # enforce symmetry lost to f32
 
     # residual variance (2 dof per obs, 6C + 3L params)
     n_obs = jnp.sum(m)
