@@ -1,0 +1,229 @@
+"""UV atlas generation + texture baking.
+
+TPU-native counterpart of the reference's full texturing stage
+(ref: src/aliceVision/mesh/Texturing.hpp:75,153 unwrap() — LSCM via
+Geogram or UVAtlas packing — and generateTextures' per-triangle best-view
+scoring with multi-band fusion [Waechter2014]).
+
+Design: charts are connected groups of triangles with similar best-view
+assignment; each chart is unwrapped by orthographic projection along its
+mean normal (the LSCM solution for near-planar charts), packed into the
+atlas with a shelf packer, and the texels are filled by projecting into
+the chart's view with depth-occlusion tests — all the rasterization is
+batched array math.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .ops import vertex_normals
+
+
+def _face_normals(V, F):
+    p0, p1, p2 = V[F[:, 0]], V[F[:, 1]], V[F[:, 2]]
+    n = np.cross(p1 - p0, p2 - p0)
+    return n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+
+def assign_best_views(
+    V, F, K, R, c, depth_maps=None, depth_tol=0.05
+) -> np.ndarray:
+    """Best view per face by the cos/d^2 score with optional occlusion."""
+    fn = _face_normals(V, F)
+    centers = V[F].mean(axis=1)  # (F, 3)
+    n_views = len(K)
+    best = np.full(len(F), -1, np.int64)
+    best_score = np.full(len(F), -np.inf)
+    for v in range(n_views):
+        x_cam = (R[v] @ (centers - c[v]).T).T
+        z = x_cam[:, 2]
+        ok = z > 1e-6
+        view_dir = c[v] - centers
+        dist = np.linalg.norm(view_dir, axis=-1)
+        view_dir /= np.maximum(dist[:, None], 1e-12)
+        cosang = np.sum(view_dir * fn, axis=-1)
+        score = np.where(ok & (cosang > 0.05), cosang / np.maximum(dist, 1e-6) ** 2, -np.inf)
+        if depth_maps is not None and depth_maps[v] is not None:
+            H, W = depth_maps[v].shape
+            u = K[v][0, 0] * x_cam[:, 0] / np.where(ok, z, 1) + K[v][0, 2]
+            w_ = K[v][1, 1] * x_cam[:, 1] / np.where(ok, z, 1) + K[v][1, 2]
+            ui = np.clip(u.astype(int), 0, W - 1)
+            wi = np.clip(w_.astype(int), 0, H - 1)
+            d = depth_maps[v][wi, ui]
+            vis = (d > 0) & (np.abs(d - z) < depth_tol * np.maximum(z, 1e-6))
+            score = np.where(vis, score, -np.inf)
+        upd = score > best_score
+        best[upd] = v
+        best_score[upd] = score[upd]
+    return best
+
+
+def build_charts(F, best_view) -> list:
+    """Connected face groups sharing a best view (chart segmentation)."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    nF = len(F)
+    # face adjacency via shared edges
+    edges = {}
+    rows, cols = [], []
+    for fi, tri in enumerate(F):
+        for a, b in ((0, 1), (1, 2), (2, 0)):
+            key = (min(tri[a], tri[b]), max(tri[a], tri[b]))
+            if key in edges:
+                fj = edges[key]
+                if best_view[fi] == best_view[fj]:
+                    rows.append(fi)
+                    cols.append(fj)
+            else:
+                edges[key] = fi
+    g = coo_matrix((np.ones(len(rows)), (rows, cols)), shape=(nF, nF))
+    n_comp, label = connected_components(g, directed=False)
+    charts = []
+    for comp in range(n_comp):
+        faces = np.nonzero(label == comp)[0]
+        if len(faces):
+            charts.append(faces)
+    return charts
+
+
+def unwrap_and_pack(
+    V, F, charts, best_view, texel_per_unit: float = 64.0, atlas_size: int = 1024,
+    margin: int = 2,
+):
+    """Orthographic per-chart unwrap + shelf packing.
+
+    Returns (uvs (F, 3, 2) in [0,1], chart placements)."""
+    uvs = np.zeros((len(F), 3, 2))
+    placements = []
+    boxes = []
+    chart_uv_local = []
+    for faces in charts:
+        verts_idx = F[faces].reshape(-1)
+        pts = V[verts_idx]
+        # orthographic basis from the mean normal
+        n = _face_normals(V, F[faces]).mean(0)
+        n /= max(np.linalg.norm(n), 1e-12)
+        a = np.array([1.0, 0, 0]) if abs(n[0]) < 0.9 else np.array([0, 1.0, 0])
+        e1 = np.cross(n, a)
+        e1 /= max(np.linalg.norm(e1), 1e-12)
+        e2 = np.cross(n, e1)
+        uv = np.stack([pts @ e1, pts @ e2], -1) * texel_per_unit
+        uv -= uv.min(0)
+        chart_uv_local.append(uv.reshape(len(faces), 3, 2))
+        boxes.append(uv.max(0) + 2 * margin)
+
+    # shelf packing by decreasing height
+    order = np.argsort([-b[1] for b in boxes])
+    x = y = shelf_h = 0
+    scale_retry = 1.0
+    pos = [None] * len(charts)
+    for ci in order:
+        w, h = boxes[ci]
+        if x + w > atlas_size:
+            x = 0
+            y += shelf_h
+            shelf_h = 0
+        if y + h > atlas_size:
+            # overflow: clamp into the last shelf (best-effort)
+            y = max(0, atlas_size - h)
+        pos[ci] = (x + margin, y + margin)
+        x += w
+        shelf_h = max(shelf_h, h)
+
+    for ci, faces in enumerate(charts):
+        px, py = pos[ci]
+        uv = chart_uv_local[ci] + np.array([px, py])
+        uvs[faces] = uv / atlas_size
+    return uvs, pos
+
+
+def rasterize_atlas(
+    V, F, uvs, best_view, images, K, R, c, atlas_size: int = 1024,
+):
+    """Fill the atlas: for each face, rasterize its UV triangle and sample
+    the face's best view at the corresponding 3D points."""
+    atlas = np.zeros((atlas_size, atlas_size, 3), np.float32)
+    filled = np.zeros((atlas_size, atlas_size), bool)
+    for fi, tri in enumerate(F):
+        v = int(best_view[fi])
+        if v < 0:
+            continue
+        img = images[v]
+        if img.ndim == 2:
+            img = np.stack([img] * 3, -1)
+        H, W = img.shape[:2]
+        uv = uvs[fi] * atlas_size  # (3, 2)
+        x0, y0 = np.floor(uv.min(0)).astype(int)
+        x1, y1 = np.ceil(uv.max(0)).astype(int) + 1
+        x0, y0 = max(x0, 0), max(y0, 0)
+        x1, y1 = min(x1, atlas_size), min(y1, atlas_size)
+        if x1 <= x0 or y1 <= y0:
+            continue
+        ys, xs = np.mgrid[y0:y1, x0:x1]
+        p = np.stack([xs + 0.5, ys + 0.5], -1)
+        # barycentric coords in UV space
+        a, b, cc = uv[0], uv[1], uv[2]
+        den = (b[1] - cc[1]) * (a[0] - cc[0]) + (cc[0] - b[0]) * (a[1] - cc[1])
+        if abs(den) < 1e-12:
+            continue
+        l1 = ((b[1] - cc[1]) * (p[..., 0] - cc[0]) + (cc[0] - b[0]) * (p[..., 1] - cc[1])) / den
+        l2 = ((cc[1] - a[1]) * (p[..., 0] - cc[0]) + (a[0] - cc[0]) * (p[..., 1] - cc[1])) / den
+        l3 = 1 - l1 - l2
+        inside = (l1 >= -0.02) & (l2 >= -0.02) & (l3 >= -0.02)
+        if not inside.any():
+            continue
+        P3 = (
+            l1[..., None] * V[tri[0]]
+            + l2[..., None] * V[tri[1]]
+            + l3[..., None] * V[tri[2]]
+        )
+        x_cam = (R[v] @ (P3.reshape(-1, 3) - c[v]).T).T.reshape(P3.shape)
+        z = np.maximum(x_cam[..., 2], 1e-6)
+        u = K[v][0, 0] * x_cam[..., 0] / z + K[v][0, 2]
+        w_ = K[v][1, 1] * x_cam[..., 1] / z + K[v][1, 2]
+        ui = np.clip(u.astype(int), 0, W - 1)
+        wi = np.clip(w_.astype(int), 0, H - 1)
+        col = img[wi, ui]
+        m = inside & ~filled[y0:y1, x0:x1]
+        atlas[y0:y1, x0:x1][m] = col[m][..., :3]
+        filled[y0:y1, x0:x1] |= inside
+    return atlas, filled
+
+
+def generate_textured_mesh(
+    V, F, images, K, R, c, out_obj: str, depth_maps=None,
+    atlas_size: int = 1024, texel_per_unit: float = 64.0,
+):
+    """Full texturing: best views -> charts -> unwrap/pack -> bake -> OBJ
+    with MTL + PNG atlas (Texturing::generateTextures equivalent)."""
+    import os
+
+    from ..image.io import write_image
+
+    best = assign_best_views(V, F, K, R, c, depth_maps)
+    charts = build_charts(F, best)
+    uvs, _ = unwrap_and_pack(V, F, charts, best, texel_per_unit, atlas_size)
+    atlas, filled = rasterize_atlas(V, F, uvs, best, images, K, R, c, atlas_size)
+
+    base = os.path.splitext(out_obj)[0]
+    png = base + "_atlas.png"
+    mtl = base + ".mtl"
+    write_image(png, atlas)
+    with open(mtl, "w") as f:
+        f.write(f"newmtl textured\nKd 1 1 1\nmap_Kd {os.path.basename(png)}\n")
+    with open(out_obj, "w") as f:
+        f.write(f"mtllib {os.path.basename(mtl)}\nusemtl textured\n")
+        for v in V:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for fi in range(len(F)):
+            for k in range(3):
+                u, vv = uvs[fi, k]
+                f.write(f"vt {u} {1.0 - vv}\n")
+        for fi, tri in enumerate(F):
+            t = 3 * fi
+            f.write(
+                f"f {tri[0]+1}/{t+1} {tri[1]+1}/{t+2} {tri[2]+1}/{t+3}\n"
+            )
+    return uvs, atlas, best

@@ -157,6 +157,34 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cellSize", type=float, required=True)
     _add_common(p)
 
+    p = sub.add_parser("texturing")
+    p.add_argument("--input", required=True, help="reconstructed .sfm")
+    p.add_argument("--mesh", required=True, help="input .obj")
+    p.add_argument("--images", required=True, help="undistorted image folder")
+    p.add_argument("--depth", default=None, help="depth folder for occlusion")
+    p.add_argument("--output", required=True, help="textured .obj")
+    p.add_argument("--atlasSize", type=int, default=2048)
+    p.add_argument("--downscale", type=int, default=2)
+    _add_common(p)
+
+    p = sub.add_parser("panoramaEstimation")
+    p.add_argument("--input", required=True)
+    p.add_argument("--features", required=True)
+    p.add_argument("--matches", required=True)
+    p.add_argument("--output", required=True)
+    _add_common(p)
+
+    p = sub.add_parser("panoramaWarping")
+    p.add_argument("--input", required=True, help=".sfm with rotation poses")
+    p.add_argument("--output", required=True, help="warped folder")
+    p.add_argument("--panoWidth", type=int, default=2048)
+    _add_common(p)
+
+    p = sub.add_parser("panoramaCompositing")
+    p.add_argument("--input", required=True, help="warped folder")
+    p.add_argument("--output", required=True, help="panorama image")
+    _add_common(p)
+
     p = sub.add_parser("convertSfMFormat")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
@@ -330,6 +358,128 @@ def main(argv=None) -> int:
         v, f = load_obj(args.input)
         v, f = decimate_grid(v, f, args.cellSize)
         save_obj(args.output, v, f)
+    elif args.cmd == "texturing":
+        import numpy as np
+
+        from .. import sfmdata
+        from ..image.io import read_image
+        from ..mesh import load_obj
+        from ..mesh.uv_atlas import generate_textured_mesh
+
+        sc = sfmdata.load(args.input)
+        V, F = load_obj(args.mesh)
+        valid = sc.valid_views()
+        imgs, Ks, Rs, cs, dms = [], [], [], [], []
+        for v in valid:
+            path = os.path.join(args.images, f"{int(sc.view_ids[v])}.npy")
+            if not os.path.exists(path):
+                continue
+            img = read_image(path, grayscale=True)
+            ds = args.downscale
+            if ds > 1:
+                img = img[::ds, ::ds]
+            imgs.append(img)
+            ii = int(sc.view_intrinsic[v])
+            fx, fy = sc.scale[ii] / ds
+            pp = (sc.offset[ii] + 0.5 * sc.sizes[ii]) / ds
+            Ks.append(np.array([[fx, 0, pp[0]], [0, fy, pp[1]], [0, 0, 1.0]]))
+            p = int(sc.view_pose[v])
+            Rs.append(sc.pose_R[p])
+            cs.append(sc.pose_c[p])
+            dpath = (
+                os.path.join(args.depth, f"{int(sc.view_ids[v])}_depth.npy")
+                if args.depth
+                else None
+            )
+            dms.append(np.load(dpath) if dpath and os.path.exists(dpath) else None)
+        generate_textured_mesh(
+            V, F, imgs, np.stack(Ks), np.stack(Rs), np.stack(cs), args.output,
+            depth_maps=dms if args.depth else None, atlas_size=args.atlasSize,
+        )
+    elif args.cmd == "panoramaEstimation":
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        from .. import camera as camm
+        from .. import sfmdata
+        from ..sfm.rotation_sfm import RotationSfM
+        from . import stages as st
+
+        sc = sfmdata.load(args.input)
+        matches = st.load_matches(args.matches)
+        intr = sc.intrinsics_table()
+        pair_bearings = {}
+        for (i, j), m in matches.items():
+            fi = st.load_features(args.features, int(sc.view_ids[i]))
+            fj = st.load_features(args.features, int(sc.view_ids[j]))
+
+            def bearings(xy, v):
+                ii = int(sc.view_intrinsic[v])
+                row = jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(np.asarray(a)[ii]), intr
+                )
+                return np.asarray(camm.backproject_ray(row, jnp.asarray(xy)))
+
+            pair_bearings[(i, j)] = (
+                bearings(fi["xy"][m[:, 0]], i),
+                bearings(fj["xy"][m[:, 1]], j),
+            )
+        eng = RotationSfM(
+            sc.n_views, float(np.mean(sc.scale)),
+            (float(sc.sizes[0, 0]), float(sc.sizes[0, 1])),
+        )
+        R, _ = eng.run(jax.random.PRNGKey(0), pair_bearings)
+        for v in range(sc.n_views):
+            sc.set_pose(v, R[v], np.zeros(3))
+        sfmdata.save(sc, args.output)
+    elif args.cmd == "panoramaWarping":
+        import numpy as np
+        import jax.numpy as jnp
+
+        from .. import sfmdata
+        from ..image.io import read_image, write_image
+        from ..panorama import warp_to_equirect
+
+        sc = sfmdata.load(args.input)
+        os.makedirs(args.output, exist_ok=True)
+        Wp = args.panoWidth
+        Hp = Wp // 2
+        for v in sc.valid_views():
+            if not sc.view_paths[v] or not os.path.exists(sc.view_paths[v]):
+                continue
+            img = read_image(sc.view_paths[v], grayscale=True)
+            ii = int(sc.view_intrinsic[v])
+            fx, fy = sc.scale[ii]
+            pp = sc.offset[ii] + 0.5 * sc.sizes[ii]
+            K = jnp.asarray([[fx, 0, pp[0]], [0, fy, pp[1]], [0, 0, 1.0]],
+                            jnp.float32)
+            p = int(sc.view_pose[v])
+            warped, mask = warp_to_equirect(
+                jnp.asarray(img), K, jnp.asarray(sc.pose_R[p], jnp.float32),
+                (Wp, Hp),
+            )
+            vid = int(sc.view_ids[v])
+            np.save(os.path.join(args.output, f"{vid}_warp.npy"), np.asarray(warped))
+            np.save(os.path.join(args.output, f"{vid}_mask.npy"), np.asarray(mask))
+    elif args.cmd == "panoramaCompositing":
+        import numpy as np
+        import jax.numpy as jnp
+
+        from ..image.io import write_image
+        from ..panorama import composite_panorama
+
+        warps, masks = [], []
+        for f in sorted(os.listdir(args.input)):
+            if f.endswith("_warp.npy"):
+                warps.append(np.load(os.path.join(args.input, f)))
+                masks.append(
+                    np.load(os.path.join(args.input, f.replace("_warp", "_mask")))
+                )
+        pano = composite_panorama(
+            jnp.asarray(np.stack(warps)), jnp.asarray(np.stack(masks))
+        )
+        write_image(args.output, np.asarray(pano))
     elif args.cmd == "convertSfMFormat":
         from .. import sfmdata
 
