@@ -317,6 +317,77 @@ def ba_solve(
     )
 
 
+def refine_intrinsics(
+    problem: BAProblem,
+    cam_q,
+    cam_c,
+    points,
+    refine_focal: bool = True,
+    refine_pp: bool = True,
+    refine_disto: bool = True,
+    iters: int = 10,
+) -> cam.Intrinsics:
+    """Gauss-Newton refinement of the intrinsic table with poses/points held.
+
+    The reference jointly refines intrinsics inside Ceres
+    (BundleAdjustment.hpp REFINE_INTRINSICS_* flags); here intrinsic blocks
+    are polished in an alternating pass — each intrinsic has few parameters
+    shared by many observations, so a dedicated small GN converges in a few
+    steps and keeps the Schur camera system at 6 params/cam.
+
+    Returns the refined Intrinsics pytree.
+    """
+    intr = problem.intr
+    I = intr.scale.shape[0]
+    # parameter packing: [d_fx, d_fy, d_cx, d_cy, d_disto(6)] per intrinsic
+    n_p = 4 + cam.DISTO_PARAMS
+    sel = np.zeros(n_p, np.float32)
+    if refine_focal:
+        sel[0:2] = 1
+    if refine_pp:
+        sel[2:4] = 1
+    if refine_disto:
+        sel[4:] = 1
+    sel = jnp.asarray(sel)
+
+    Rm = quat_to_mat(cam_q)[problem.obs_cam]
+    c = cam_c[problem.obs_cam]
+    X = jnp.broadcast_to(points[:, None, :], c.shape)
+    x_cam = jnp.einsum("lkij,lkj->lki", Rm, X - c, precision="highest")
+    m = problem.obs_mask.astype(x_cam.dtype)
+
+    def apply_delta(dp):
+        # dp: (I, n_p) masked by sel
+        dp = dp * sel[None, :]
+        return intr._replace(
+            scale=intr.scale + dp[:, 0:2],
+            offset=intr.offset + dp[:, 2:4],
+            disto=intr.disto + dp[:, 4:],
+        )
+
+    def residuals(dp):
+        it = apply_delta(dp)
+        rows = jax.tree_util.tree_map(lambda a: a[problem.obs_intr], it)
+        pix = cam.project_cam(rows, x_cam)
+        return ((pix - problem.obs_uv) * m[..., None]).reshape(-1)
+
+    dp = jnp.zeros((I, n_p))
+
+    def gn(dp, _):
+        r, lin = jax.linearize(residuals, dp)
+        basis = jnp.eye(I * n_p).reshape(I * n_p, I, n_p)
+        J = jax.vmap(lin)(basis)  # (P_total, n_res)
+        JtJ = J @ J.T + 1e-6 * jnp.eye(I * n_p)
+        g = J @ r
+        step = -jnp.linalg.solve(JtJ, g).reshape(I, n_p)
+        new = dp + step
+        better = jnp.sum(residuals(new) ** 2) < jnp.sum(r * r)
+        return jnp.where(better, new, dp), None
+
+    dp, _ = jax.lax.scan(gn, dp, None, length=iters)
+    return apply_delta(dp)
+
+
 def pose_covariances(problem: BAProblem, cam_q, cam_c, points) -> jnp.ndarray:
     """Per-camera 6x6 pose covariance from the (undamped) reduced camera
     system: diag blocks of S^-1 scaled by the residual variance.

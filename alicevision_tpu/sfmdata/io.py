@@ -301,6 +301,12 @@ def load(path: str) -> SfMData:
     ext = os.path.splitext(path)[1].lower()
     if ext in (".sfm", ".json"):
         return load_sfm(path)
+    if ext == ".abc":
+        raise NotImplementedError(
+            "Alembic (.abc) needs the Alembic library, which this image "
+            "does not ship; convert with the reference's convertSfMFormat "
+            "to .sfm, which loads here losslessly"
+        )
     raise ValueError(f"unsupported scene format: {ext}")
 
 
