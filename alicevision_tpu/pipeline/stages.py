@@ -643,6 +643,11 @@ def meshing_surface(
         Rs.append(sc.pose_R[pi])
         cs.append(sc.pose_c[pi])
         view_rows.append(v)
+    if not depths:
+        raise FileNotFoundError(
+            f"no '<viewId>_depth.npy' maps found in {depth_folder!r} — run "
+            "depthMapEstimation/depthMapFiltering first"
+        )
     Ks, Rs, cs = np.stack(Ks), np.stack(Rs), np.stack(cs)
     pts, cols, views = fuse_point_cloud(
         np.stack(depths), None, Ks, Rs, cs, voxel_size=voxel_size
