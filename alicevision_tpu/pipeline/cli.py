@@ -116,6 +116,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nbDepths", type=int, default=96)
     p.add_argument("--nbTCams", type=int, default=4)
     p.add_argument("--downscale", type=int, default=2)
+    p.add_argument("--refine", action="store_true",
+                   help="run the Refine pass (offset volume + color opt)")
     _add_common(p)
 
     p = sub.add_parser("depthMapFiltering")
@@ -331,6 +333,7 @@ def main(argv=None) -> int:
         stages.depth_map_estimation(
             args.input, args.images, args.output, args.nbDepths, args.nbTCams,
             args.downscale, args.rangeStart, args.rangeSize,
+            refine=args.refine,
         )
     elif args.cmd == "depthMapFiltering":
         stages.depth_map_filtering(

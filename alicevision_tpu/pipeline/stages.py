@@ -458,6 +458,8 @@ def depth_map_estimation(
     downscale: int = 2,
     range_start: int = 0,
     range_size: int = -1,
+    refine: bool = False,
+    color_opt_iters: int = 20,
 ) -> None:
     import jax
     import jax.numpy as jnp
@@ -513,6 +515,21 @@ def depth_map_estimation(
             d_max,
             params,
         )
+        if refine:
+            from ..mvs.refine import color_guided_optimize, refine_depth_map
+
+            depth, sim = refine_depth_map(
+                depth,
+                jnp.asarray(imgs[rc]),
+                jnp.asarray(np.stack([imgs[t] for t in order])),
+                jnp.asarray(K_all[rc]),
+                jnp.asarray(np.stack([K_all[t] for t in order])),
+                jnp.asarray(R_rel.astype(np.float32)),
+                jnp.asarray(t_rel.astype(np.float32)),
+            )
+            depth = color_guided_optimize(
+                depth, jnp.asarray(imgs[rc]), iterations=color_opt_iters
+            )
         np.save(out_d, np.asarray(depth))
         np.save(
             os.path.join(output_folder, f"{int(sc.view_ids[rc])}_sim.npy"),
