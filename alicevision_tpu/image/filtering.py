@@ -23,24 +23,34 @@ def gaussian_kernel_1d(sigma: float, radius: int | None = None) -> jnp.ndarray:
 
 
 def _conv_1d(img: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Convolve along one spatial axis with edge replication ('SAME')."""
+    """Convolve along one spatial axis (-1 or -2) with edge replication.
+
+    Lowered as a 2D NCHW convolution with a (1, K) / (K, 1) kernel over the
+    full (H, W) plane — flattening rows into a batch of tiny 1D convs (the
+    previous formulation) is pathological on TPU (~40 ms per 512x384 blur vs
+    well under a millisecond this way).
+    """
+    if axis < 0:
+        axis += img.ndim
+    spatial_axis = axis - (img.ndim - 2)  # 0 = H, 1 = W
     r = (kernel.shape[0] - 1) // 2
     pads = [(0, 0)] * img.ndim
     pads[axis] = (r, r)
     padded = jnp.pad(img, pads, mode="edge")
-    # Move target axis last, flatten the rest into a batch.
-    moved = jnp.moveaxis(padded, axis, -1)
-    lead = moved.shape[:-1]
-    flat = moved.reshape(-1, 1, moved.shape[-1])  # (N, C=1, W)
+    lead = padded.shape[:-2]
+    x = padded.reshape((-1, 1) + padded.shape[-2:])  # (N, 1, H, W)
+    if spatial_axis == 1:
+        kern = kernel.reshape(1, 1, 1, -1)
+    else:
+        kern = kernel.reshape(1, 1, -1, 1)
     out = jax.lax.conv_general_dilated(
-        flat,
-        kernel[None, None, :],  # (O=1, I=1, K)
-        window_strides=(1,),
+        x,
+        kern,
+        window_strides=(1, 1),
         padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
-    out = out.reshape(lead + (out.shape[-1],))
-    return jnp.moveaxis(out, -1, axis)
+    return out.reshape(lead + out.shape[-2:])
 
 
 def gaussian_blur(img: jnp.ndarray, sigma: float, radius: int | None = None) -> jnp.ndarray:

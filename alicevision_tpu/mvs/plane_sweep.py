@@ -129,35 +129,86 @@ def similarity_volume(
 ) -> jnp.ndarray:
     """Similarity volume (D, H, W): mean ZNCC across T-cams per depth plane.
 
+    Fully tensorized: all (depth, tcam) warps are computed as ONE flat
+    1D take per bilinear tap over the concatenated T-cam images, and the
+    ZNCC filters run on the whole (chunk*T, H, W) stack. vmapping the 2D
+    gather instead lowers catastrophically on TPU (~10 ms per slice vs
+    ~0.06 ms for the equivalent flat take). Chunking over depths bounds
+    peak memory (params.depth_chunk planes in flight).
+
     Cost convention matches the reference (0 good .. 255 bad) so the SGM
     stage is interchangeable.
     """
     Hh, Ww = ref_img.shape
+    T = t_imgs.shape[0]
+    D = depths.shape[0]
+    flat_imgs = t_imgs.reshape(-1)
 
-    def per_depth(depth):
-        def per_tcam(timg, Kt, Rr, tr):
-            Hmat = plane_homography(K_ref, Kt, Rr, tr, depth)
-            warp, valid = warp_homography(timg, Hmat, (Hh, Ww))
-            sim = zncc(ref_img, warp, valid, params.sigma_window)
-            ok = jnp.any(valid)
-            return sim, ok
+    Kinv = jnp.linalg.inv(K_ref)
+    n_vec = jnp.array([0.0, 0.0, 1.0], ref_img.dtype)
 
-        sims, oks = jax.vmap(per_tcam)(t_imgs, K_t, R_rel, t_rel)
-        # average over valid tcams, best-cam weighting like maxTCams small
-        cnt = jnp.sum(oks)
-        sim = jnp.sum(sims * oks[:, None, None], axis=0) / jnp.maximum(cnt, 1)
+    ys = jnp.arange(Hh, dtype=ref_img.dtype)
+    xs = jnp.arange(Ww, dtype=ref_img.dtype)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    pix = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # (H, W, 3)
+    rays = jnp.einsum("ij,hwj->hwi", Kinv, pix)  # K_ref^-1 p, depth-free
+
+    # Per-tcam homography pieces: H(d) = K_t R K^-1 + (K_t t) (n^T K^-1) / d
+    A = jnp.einsum("tij,tjk,kl->til", K_t, R_rel, Kinv)  # (T, 3, 3)
+    b = jnp.einsum("tij,tj->ti", K_t, t_rel)  # (T, 3)
+
+    def chunk_volume(depth_chunk):  # (C,) -> (C, H, W)
+        C = depth_chunk.shape[0]
+        # q = A rays + b (n^T K^-1 p) / d ; note n^T K^-1 p = rays_z
+        base = jnp.einsum("til,hwl->thwi", A, pix)  # (T, H, W, 3)
+        scale = rays[..., 2][None, None, :, :, None]  # z-component of K^-1 p
+        q = (
+            base[None]
+            + b[None, :, None, None, :] * scale / depth_chunk[:, None, None, None, None]
+        )  # (C, T, H, W, 3)
+        z = q[..., 2]
+        zs = jnp.where(jnp.abs(z) < _EPS, _EPS, z)
+        u = q[..., 0] / zs
+        v = q[..., 1] / zs
+
+        u0 = jnp.floor(u)
+        v0 = jnp.floor(v)
+        fu = u - u0
+        fv = v - v0
+        u0i = u0.astype(jnp.int32)
+        v0i = v0.astype(jnp.int32)
+        t_off = (jnp.arange(T, dtype=jnp.int32) * (Hh * Ww))[None, :, None, None]
+
+        def tap(vi, ui, w):
+            ok = (ui >= 0) & (ui < Ww) & (vi >= 0) & (vi < Hh)
+            lin = t_off + jnp.clip(vi, 0, Hh - 1) * Ww + jnp.clip(ui, 0, Ww - 1)
+            val = jnp.take(flat_imgs, lin.reshape(-1)).reshape(lin.shape)
+            return jnp.where(ok, val * w, 0.0), jnp.where(ok, w, 0.0)
+
+        a0, w0 = tap(v0i, u0i, (1 - fu) * (1 - fv))
+        a1, w1 = tap(v0i, u0i + 1, fu * (1 - fv))
+        a2, w2 = tap(v0i + 1, u0i, (1 - fu) * fv)
+        a3, w3 = tap(v0i + 1, u0i + 1, fu * fv)
+        wsum = w0 + w1 + w2 + w3
+        warp = (a0 + a1 + a2 + a3) / jnp.maximum(wsum, _EPS)
+        valid = (wsum > 0.99) & (z > _EPS)
+        warp = jnp.where(valid, warp, 0.0)
+
+        # ZNCC of the whole (C*T, H, W) stack against the broadcast ref.
+        refb = jnp.broadcast_to(ref_img, (C, T, Hh, Ww))
+        sims = zncc(refb, warp, valid, params.sigma_window)  # (C, T, H, W)
+        oks = jnp.any(valid, axis=(-2, -1))  # (C, T)
+        cnt = jnp.sum(oks, axis=-1)  # (C,)
+        sim = jnp.sum(sims * oks[..., None, None], axis=1) / jnp.maximum(
+            cnt[:, None, None], 1
+        )
         return sim
 
-    # Chunked depth batching: vmap runs `depth_chunk` planes in parallel
-    # (the serial lax.map over single planes left the chip idle — 16x
-    # speedup at chunk 8 on v5e), lax.map over chunks bounds peak memory to
-    # chunk * T warp buffers.
-    D = depths.shape[0]
     ch = max(1, min(params.depth_chunk, D))
     pad = (-D) % ch
     depths_p = jnp.concatenate([depths, jnp.full((pad,), depths[-1])]) if pad else depths
     chunks = depths_p.reshape(-1, ch)
-    sims = jax.lax.map(jax.vmap(per_depth), chunks).reshape(-1, Hh, Ww)[:D]
+    sims = jax.lax.map(chunk_volume, chunks).reshape(-1, Hh, Ww)[:D]
     # similarity [-1, 1] -> cost [0, 255] (reference stores unsigned cost)
     cost = (1.0 - sims) * 0.5 * 255.0
     return cost
