@@ -78,9 +78,14 @@ def main():
     res.cost_final.block_until_ready()
 
     times = []
-    for _ in range(3):
+    for i in range(3):
+        # perturb the input each rep — the axon runtime memoizes repeated
+        # identical calls, which would make timings meaningless
+        import jax.numpy as jnp
+
+        p_i = problem._replace(points=problem.points + jnp.float32(i) * 1e-7)
         t0 = time.perf_counter()
-        res = solve(problem)
+        res = solve(p_i)
         res.cost_final.block_until_ready()
         times.append(time.perf_counter() - t0)
     dt = min(times)
