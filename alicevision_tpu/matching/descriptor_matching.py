@@ -163,6 +163,41 @@ def guided_match_epipolar(
     )
 
 
+@partial(jax.jit, static_argnames=())
+def guided_match_homography(
+    H: jnp.ndarray,
+    xy1: jnp.ndarray,
+    xy2: jnp.ndarray,
+    d1: jnp.ndarray,
+    d2: jnp.ndarray,
+    valid1: jnp.ndarray,
+    valid2: jnp.ndarray,
+    max_transfer_px: float = 4.0,
+    ratio: float = 0.8,
+) -> Matches:
+    """Descriptor matching restricted to a homography transfer disc
+    (ref: matching/guidedMatching.hpp — the H-model functor)."""
+    ones1 = jnp.ones((xy1.shape[0], 1), xy1.dtype)
+    p1 = jnp.concatenate([xy1, ones1], axis=-1)
+    Hp = p1 @ H.T
+    z = jnp.where(jnp.abs(Hp[:, 2:]) < 1e-12, 1e-12, Hp[:, 2:])
+    proj = Hp[:, :2] / z  # (N, 2) predicted positions in image 2
+    d2sq = jnp.sum((proj[:, None, :] - xy2[None, :, :]) ** 2, axis=-1)
+    band = d2sq <= max_transfer_px**2
+
+    dist = _pairwise_sqdist(d1, d2)
+    dist = jnp.where(band & valid2[None, :], dist, _BIG)
+    neg_top2, idx_top2 = jax.lax.top_k(-dist, 2)
+    best = idx_top2[:, 0]
+    d_best = -neg_top2[:, 0]
+    d_second = -neg_top2[:, 1]
+    ok = valid1 & (d_best < (ratio * ratio) * d_second) & (d_best < _BIG)
+    return Matches(
+        idx2=jnp.where(ok, best, -1).astype(jnp.int32),
+        dist=jnp.where(ok, d_best, _BIG),
+    )
+
+
 def matches_to_pairs(matches: Matches):
     """Host helper: (N,) match table -> (K, 2) index pairs (numpy)."""
     import numpy as np

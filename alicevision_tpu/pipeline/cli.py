@@ -192,6 +192,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True)
     _add_common(p)
 
+    p = sub.add_parser("exportMeshlab")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--mesh", default=None)
+    _add_common(p)
+
+    p = sub.add_parser("exportAnimatedCamera")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--fps", type=float, default=24.0)
+    _add_common(p)
+
+    p = sub.add_parser("importKnownPoses")
+    p.add_argument("--input", required=True)
+    p.add_argument("--poses", required=True)
+    p.add_argument("--output", required=True)
+    _add_common(p)
+
+    p = sub.add_parser("hardwareResources")
+    _add_common(p)
+
     p = sub.add_parser("pipeline")
     p.add_argument("--imageFolder", required=True)
     p.add_argument("--output", required=True, help="working folder")
@@ -498,6 +519,42 @@ def main(argv=None) -> int:
             skip_mvs=args.skipMvs,
             default_focal_px=args.defaultFocalPx,
         )
+    elif args.cmd == "exportMeshlab":
+        from .. import sfmdata
+        from ..sfmdata.export import export_meshlab
+
+        export_meshlab(sfmdata.load(args.input), args.output, args.mesh)
+    elif args.cmd == "exportAnimatedCamera":
+        from .. import sfmdata
+        from ..sfmdata.export import export_animated_camera
+
+        export_animated_camera(sfmdata.load(args.input), args.output, args.fps)
+    elif args.cmd == "importKnownPoses":
+        from .. import sfmdata
+        from ..sfmdata.export import import_known_poses
+
+        sc = sfmdata.load(args.input)
+        n = import_known_poses(sc, args.poses)
+        sfmdata.save(sc, args.output)
+        print(json.dumps({"poses_applied": n}))
+    elif args.cmd == "hardwareResources":
+        import jax
+
+        info = {
+            "backend": jax.default_backend(),
+            "devices": [str(d) for d in jax.devices()],
+            "process_count": jax.process_count(),
+            "cpu_count": os.cpu_count(),
+        }
+        try:
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith("MemTotal"):
+                        info["host_memory_kb"] = int(line.split()[1])
+                        break
+        except Exception:
+            pass
+        print(json.dumps(info, indent=1))
     elif args.cmd == "sfmTransform":
         from .. import sfmdata
         from ..sfm import alignment as al

@@ -97,6 +97,100 @@ def export_colmap(scene: SfMData, out_dir: str) -> None:
             )
 
 
+def export_meshlab(scene: SfMData, out_dir: str, mesh_path: str | None = None) -> None:
+    """Write a MeshLab project (.mlp) with raster cameras
+    (ref: src/software/export/main_exportMeshlab.cpp)."""
+    os.makedirs(out_dir, exist_ok=True)
+    lines = ['<!DOCTYPE MeshLabDocument>', "<MeshLabProject>"]
+    lines.append(" <MeshGroup>")
+    if mesh_path:
+        lines.append(f'  <MLMesh filename="{mesh_path}" label="mesh"/>')
+    lines.append(" </MeshGroup>")
+    lines.append(" <RasterGroup>")
+    for v in range(scene.n_views):
+        p = scene.view_pose[v]
+        if p == INVALID:
+            continue
+        ii = scene.view_intrinsic[v]
+        fx = scene.scale[ii, 0]
+        w, h = int(scene.view_sizes[v, 0]), int(scene.view_sizes[v, 1])
+        R = scene.pose_R[p]
+        c = scene.pose_c[p]
+        t = -R @ c
+        rot = " ".join(
+            str(x)
+            for x in np.block(
+                [[R, t[:, None]], [np.zeros((1, 3)), np.ones((1, 1))]]
+            ).ravel()
+        )
+        name = os.path.basename(scene.view_paths[v]) or f"view_{int(scene.view_ids[v])}"
+        lines.append("  <MLRaster label=\"%s\">" % name)
+        lines.append(
+            f'   <VCGCamera TranslationVector="{t[0]} {t[1]} {t[2]} 1" '
+            f'LensDistortion="0 0" ViewportPx="{w} {h}" '
+            f'PixelSizeMm="1 1" FocalMm="{fx}" '
+            f'RotationMatrix="{rot}"/>'
+        )
+        lines.append(f'   <Plane semantic="1" fileName="{scene.view_paths[v]}"/>')
+        lines.append("  </MLRaster>")
+    lines.append(" </RasterGroup>")
+    lines.append("</MeshLabProject>")
+    with open(os.path.join(out_dir, "project.mlp"), "w") as f:
+        f.write("\n".join(lines))
+
+
+def export_animated_camera(scene: SfMData, path: str, fps: float = 24.0) -> None:
+    """Per-frame camera track as JSON (the Alembic-free analog of
+    main_exportAnimatedCamera; frames ordered by view frame id)."""
+    import json as _json
+
+    frames = []
+    order = np.argsort(scene.view_frames)
+    for v in order:
+        p = scene.view_pose[v]
+        if p == INVALID:
+            continue
+        ii = scene.view_intrinsic[v]
+        frames.append(
+            {
+                "frame": int(scene.view_frames[v]),
+                "viewId": int(scene.view_ids[v]),
+                "rotation": scene.pose_R[p].tolist(),
+                "center": scene.pose_c[p].tolist(),
+                "focal_px": float(scene.scale[ii, 0]),
+                "principal_point": (
+                    scene.offset[ii] + 0.5 * scene.sizes[ii]
+                ).tolist(),
+            }
+        )
+    with open(path, "w") as f:
+        _json.dump({"fps": fps, "frames": frames}, f, indent=1)
+
+
+def import_known_poses(scene: SfMData, poses_path: str) -> int:
+    """Apply externally-known poses to a scene
+    (ref: src/software/convert/main_importKnownPoses.cpp). The JSON format
+    is the export_animated_camera schema or a {viewId: {rotation, center}}
+    map. Returns the number of poses applied."""
+    import json as _json
+
+    with open(poses_path) as f:
+        data = _json.load(f)
+    if "frames" in data:
+        entries = {int(fr["viewId"]): fr for fr in data["frames"]}
+    else:
+        entries = {int(k): v for k, v in data.items()}
+    id2idx = {int(vid): i for i, vid in enumerate(scene.view_ids)}
+    n = 0
+    for vid, e in entries.items():
+        if vid in id2idx:
+            scene.set_pose(
+                id2idx[vid], np.asarray(e["rotation"], float), np.asarray(e["center"], float)
+            )
+            n += 1
+    return n
+
+
 def import_colmap(model_dir: str) -> SfMData:
     """Read a COLMAP text model back into an SfMData scene."""
     sc = SfMData.empty()
