@@ -95,7 +95,7 @@ def detect_checkerboard(
     origin = pts.mean(0)
     A = np.stack([e1 * step1, e2 * step2], axis=1)  # (2, 2)
     uv = np.linalg.solve(A, (pts - origin).T).T
-    ij = np.round(uv).astype(int)
+    ij = np.floor(uv + 0.5).astype(int)  # avoid half-to-even collapse
     # normalize to start at (0, 0)
     ij -= ij.min(0)
     # Assign each lattice cell the strongest-response point landing on it

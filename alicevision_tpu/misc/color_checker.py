@@ -40,10 +40,13 @@ def detect_color_checker(
     import scipy.ndimage as ndi
 
     gray = rgb @ np.array([0.299, 0.587, 0.114])
-    # local variance: uniform patches score low
+    # local variance: uniform patches score low. Threshold against the
+    # noise floor (median variance) rather than a fixed percentile — patch
+    # and background smoothness are indistinguishable by rank alone.
     mean = ndi.uniform_filter(gray, 7)
     var = ndi.uniform_filter(gray * gray, 7) - mean * mean
-    flat = var < np.percentile(var, 35)
+    floor = np.median(var)
+    flat = var < max(3.0 * floor, 1e-6)
     # remove thin connections between patches
     flat = ndi.binary_erosion(flat, iterations=2)
     label, n = ndi.label(flat)
@@ -111,7 +114,7 @@ def detect_color_checker(
     s2 = np.median(np.abs(offs @ e2)[np.abs(offs @ e2) > 3])
     A = np.stack([e1 * s1, e2 * s2], axis=1)
     uv = np.linalg.solve(A, (pts - pts.mean(0)).T).T
-    ij = np.round(uv).astype(int)
+    ij = np.floor(uv + 0.5).astype(int)  # avoid half-to-even collapse
     ij -= ij.min(0)
     # Refine the lattice basis by least squares — the histogram-binned axis
     # angles (~2.5 deg quantization) skew assignments at the grid extremes.
@@ -121,7 +124,7 @@ def detect_color_checker(
         o, v1, v2 = sol
         B = np.stack([v1, v2], axis=1)
         uv = np.linalg.solve(B, (pts - o).T).T
-        ij = np.round(uv).astype(int)
+        ij = np.floor(uv + 0.5).astype(int)  # avoid half-to-even collapse
         ij -= ij.min(0)
 
     got = {}

@@ -13,7 +13,9 @@ def _render_chart(gain=1.0, offset=0.0, patch=28, gap=6, margin=30, noise=0.01):
     H = 2 * margin + rows * patch + (rows - 1) * gap
     W = 2 * margin + cols * patch + (cols - 1) * gap
     rng = np.random.RandomState(0)
-    img = rng.rand(H, W, 3) * 0.08 + 0.4  # noisy background
+    # near-black background — distinct from every chart color so patch
+    # boundaries always carry a variance edge
+    img = np.full((H, W, 3), 0.02, np.float32)
     centers = []
     for r in range(rows):
         for c in range(cols):
