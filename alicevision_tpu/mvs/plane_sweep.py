@@ -140,7 +140,7 @@ def similarity_volume(
     stage is interchangeable.
     """
     Hh, Ww = ref_img.shape
-    T = t_imgs.shape[0]
+    T, Ht, Wt = t_imgs.shape  # T-cam dims may differ from the ref (tiling)
     D = depths.shape[0]
     flat_imgs = t_imgs.reshape(-1)
 
@@ -177,11 +177,11 @@ def similarity_volume(
         fv = v - v0
         u0i = u0.astype(jnp.int32)
         v0i = v0.astype(jnp.int32)
-        t_off = (jnp.arange(T, dtype=jnp.int32) * (Hh * Ww))[None, :, None, None]
+        t_off = (jnp.arange(T, dtype=jnp.int32) * (Ht * Wt))[None, :, None, None]
 
         def tap(vi, ui, w):
-            ok = (ui >= 0) & (ui < Ww) & (vi >= 0) & (vi < Hh)
-            lin = t_off + jnp.clip(vi, 0, Hh - 1) * Ww + jnp.clip(ui, 0, Ww - 1)
+            ok = (ui >= 0) & (ui < Wt) & (vi >= 0) & (vi < Ht)
+            lin = t_off + jnp.clip(vi, 0, Ht - 1) * Wt + jnp.clip(ui, 0, Wt - 1)
             val = jnp.take(flat_imgs, lin.reshape(-1)).reshape(lin.shape)
             return jnp.where(ok, val * w, 0.0), jnp.where(ok, w, 0.0)
 
