@@ -145,7 +145,6 @@ def similarity_volume(
     flat_imgs = t_imgs.reshape(-1)
 
     Kinv = jnp.linalg.inv(K_ref)
-    n_vec = jnp.array([0.0, 0.0, 1.0], ref_img.dtype)
 
     ys = jnp.arange(Hh, dtype=ref_img.dtype)
     xs = jnp.arange(Ww, dtype=ref_img.dtype)
