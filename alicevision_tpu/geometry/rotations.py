@@ -124,7 +124,11 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     K = hat(w)
-    KK = K @ K
+    # K@K == w w^T - theta^2 I in closed form: exact on the VPU, and avoids
+    # the MXU's bfloat16 default truncating a rotation product.
+    KK = w[..., :, None] * w[..., None, :] - theta2[..., None, None] * jnp.broadcast_to(
+        jnp.eye(3, dtype=w.dtype), K.shape
+    )
     small = theta2 < 1e-8
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2.clip(_EPS))

@@ -18,6 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..geometry import pose_from_Rt, Pose
+from ..numeric import f32_matmuls
 
 _EPS = 1e-12
 
@@ -72,6 +73,7 @@ def _nullvectors(A: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.moveaxis(V[..., :, :k], -1, -2)
 
 
+@f32_matmuls
 def fundamental_8pt(x1: jnp.ndarray, x2: jnp.ndarray, mask=None) -> jnp.ndarray:
     """Normalized 8-point algorithm. x: (..., N>=8, 2) pixels -> F (..., 3, 3).
 
@@ -92,6 +94,7 @@ def fundamental_8pt(x1: jnp.ndarray, x2: jnp.ndarray, mask=None) -> jnp.ndarray:
     return F / jnp.linalg.norm(F, axis=(-2, -1), keepdims=True).clip(_EPS)
 
 
+@f32_matmuls
 def fundamental_7pt(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
     """7-point solver: returns up to 3 solutions (..., 3, 3, 3).
 
@@ -129,6 +132,7 @@ def fundamental_7pt(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
     return Fs / jnp.linalg.norm(Fs, axis=(-2, -1), keepdims=True).clip(_EPS)
 
 
+@f32_matmuls
 def essential_8pt(x1: jnp.ndarray, x2: jnp.ndarray, mask=None) -> jnp.ndarray:
     """8-point essential from *normalized camera* coords; projects onto the
     essential manifold (two equal singular values)."""
@@ -143,6 +147,7 @@ def essential_from_F(F: jnp.ndarray, K1: jnp.ndarray, K2: jnp.ndarray) -> jnp.nd
     return jnp.swapaxes(K2, -1, -2) @ F @ K1
 
 
+@f32_matmuls
 def homography_4pt(x1: jnp.ndarray, x2: jnp.ndarray, mask=None) -> jnp.ndarray:
     """DLT homography from >= 4 correspondences. x: (..., N, 2) -> H (..., 3, 3)."""
     x1n, T1 = normalize_points(x1, mask)
@@ -168,6 +173,7 @@ def homography_4pt(x1: jnp.ndarray, x2: jnp.ndarray, mask=None) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@f32_matmuls
 def decompose_essential(E: jnp.ndarray):
     """E -> 4 candidate relative poses (R, t) with |t| = 1.
 
@@ -222,6 +228,7 @@ def select_cheirality(R4, t4, x1, x2, mask=None):
     return R, t, jnp.max(counts, axis=-1)
 
 
+@f32_matmuls
 def relative_pose_from_essential(E, x1, x2, mask=None) -> Pose:
     R4, t4 = decompose_essential(E)
     R, t, _ = select_cheirality(R4, t4, x1, x2, mask)

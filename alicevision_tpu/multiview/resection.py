@@ -14,11 +14,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..numeric import quartic_roots_real
+from ..numeric import f32_matmuls, quartic_roots_real
 
 _EPS = 1e-12
 
 
+@f32_matmuls
 def kabsch(src: jnp.ndarray, dst: jnp.ndarray, mask: jnp.ndarray | None = None):
     """Rigid transform (R, t) minimizing ||R @ src + t - dst||^2.
 
@@ -42,6 +43,7 @@ def kabsch(src: jnp.ndarray, dst: jnp.ndarray, mask: jnp.ndarray | None = None):
     return R, t
 
 
+@f32_matmuls
 def p3p(world: jnp.ndarray, bearings: jnp.ndarray):
     """Grunert P3P. world: (..., 3, 3) points, bearings: (..., 3, 3) unit rays
     in the camera frame. Returns (R (..., 4, 3, 3), t (..., 4, 3),
@@ -138,6 +140,167 @@ def p3p(world: jnp.ndarray, bearings: jnp.ndarray):
     return R, t, valid
 
 
+@f32_matmuls
+def resection_dlt6(world: jnp.ndarray, obs_norm: jnp.ndarray, mask: jnp.ndarray | None = None):
+    """6-point (or more) DLT resection on the normalized image plane.
+
+    TPU-native counterpart of the reference's Resection6PSolver
+    (ref: src/aliceVision/multiview/resection/Resection6PSolver.hpp): solve
+    the 2N x 12 homogeneous system for the projection P = [R | t] (K already
+    removed by normalizing the observations), then project onto SE(3) by
+    orthonormalizing R with SVD and fixing the scale/sign from det and depth.
+
+    world: (..., N, 3), obs_norm: (..., N, 2). Returns (R, t, valid) with
+    x_cam = R x_world + t, batched over leading dims.
+    """
+    if mask is None:
+        w = jnp.ones(world.shape[:-1], world.dtype)
+    else:
+        w = mask.astype(world.dtype)
+    X = jnp.concatenate([world, jnp.ones_like(world[..., :1])], axis=-1)  # (..., N, 4)
+    u = obs_norm[..., 0:1]
+    v = obs_norm[..., 1:2]
+    zeros = jnp.zeros_like(X)
+    row_u = jnp.concatenate([X, zeros, -u * X], axis=-1)  # (..., N, 12)
+    row_v = jnp.concatenate([zeros, X, -v * X], axis=-1)
+    A = jnp.concatenate([row_u, row_v], axis=-2) * jnp.concatenate([w, w], axis=-1)[..., None]
+    # Smallest right singular vector of A via eigh of A^T A (12x12, batched).
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    eigval, eigvec = jnp.linalg.eigh(AtA)
+    p = eigvec[..., :, 0]  # (..., 12)
+    P = p.reshape(p.shape[:-1] + (3, 4))
+    Rraw, t = P[..., :3], P[..., 3]
+    # Fix sign so the (masked) mean depth is positive, then scale.
+    z = jnp.einsum("...j,...nj->...n", Rraw[..., 2, :], world) + t[..., 2:3]
+    sign = jnp.where(jnp.sum(z * w, axis=-1, keepdims=True) < 0, -1.0, 1.0)
+    Rraw = Rraw * sign[..., None]
+    t = t * sign
+    U, S, Vt = jnp.linalg.svd(Rraw)
+    det = jnp.linalg.det(U @ Vt)
+    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    R = U @ (D[..., :, None] * Vt)
+    scale = jnp.mean(S, axis=-1) * jnp.where(det < 0, -1.0, 1.0)
+    t = t / jnp.where(jnp.abs(scale) < _EPS, _EPS, scale)[..., None]
+    R, t = gauss_newton_pose_refine(R, t, world, obs_norm, mask=mask, iters=5)
+    # Validity: finite + positive depths on the (masked) support set.
+    zf = jnp.einsum("...ij,...nj->...ni", R, world)[..., 2] + t[..., None, 2]
+    ok_depth = jnp.all((zf > 0) | (w == 0), axis=-1)
+    finite = jnp.all(jnp.isfinite(R), axis=(-1, -2)) & jnp.all(jnp.isfinite(t), axis=-1)
+    return R, t, ok_depth & finite
+
+
+@f32_matmuls
+def epnp(world: jnp.ndarray, obs_norm: jnp.ndarray, mask: jnp.ndarray | None = None):
+    """EPnP [Lepetit et al., IJCV 2009] for N >= 4 points, batched.
+
+    TPU-native counterpart of the reference's EPnPSolver
+    (ref: src/aliceVision/multiview/resection/EPnPSolver.hpp). Control
+    points are the centroid + PCA axes of the world points; the camera-frame
+    control points come from the smallest eigenvectors of the 12x12 normal
+    matrix. We solve the beta combination for the N=1 case in closed form
+    and polish betas with a few Gauss-Newton steps on the inter-control-point
+    distance constraints (the reference does the same), then recover (R, t)
+    by Kabsch and refine on reprojection.
+
+    world: (..., N, 3), obs_norm: (..., N, 2). Returns (R, t, valid).
+    """
+    if mask is None:
+        w = jnp.ones(world.shape[:-1], world.dtype)
+    else:
+        w = mask.astype(world.dtype)
+    wn = w / jnp.sum(w, axis=-1, keepdims=True).clip(_EPS)
+    c0 = jnp.sum(world * wn[..., None], axis=-2)  # centroid (..., 3)
+    Xc = (world - c0[..., None, :]) * jnp.sqrt(wn)[..., None]
+    cov = jnp.einsum("...ni,...nj->...ij", Xc, Xc)
+    eval_, evec = jnp.linalg.eigh(cov)  # ascending
+    # Control points: centroid + principal axes scaled by sqrt(eigval).
+    axes = evec * jnp.sqrt(jnp.maximum(eval_, 1e-10))[..., None, :]  # columns
+    ctrl = jnp.concatenate(
+        [c0[..., None, :], c0[..., None, :] + jnp.swapaxes(axes, -1, -2)], axis=-2
+    )  # (..., 4, 3)
+    # Barycentric coordinates: alphas solve ctrl^T alpha = [X; 1].
+    Ct = jnp.concatenate(
+        [jnp.swapaxes(ctrl, -1, -2), jnp.ones_like(ctrl[..., None, :, 0])], axis=-2
+    )  # (..., 4, 4) rows [Cx; Cy; Cz; 1]
+    Xh = jnp.concatenate([world, jnp.ones_like(world[..., :1])], axis=-1)  # (..., N, 4)
+    alphas = jnp.einsum(
+        "...ij,...nj->...ni", jnp.linalg.inv(Ct), Xh
+    )  # (..., N, 4)
+    # Build M (2N x 12): sum_j a_j [1 0 -u; 0 1 -v] acting on control j cam coords.
+    u = obs_norm[..., 0]
+    v = obs_norm[..., 1]
+    zero = jnp.zeros_like(u)
+    one = jnp.ones_like(u)
+    # row pattern per point per control j: [a, 0, -a u] and [0, a, -a v]
+    ru = jnp.stack([one, zero, -u], axis=-1)  # (..., N, 3)
+    rv = jnp.stack([zero, one, -v], axis=-1)
+    Mu = alphas[..., :, None] * ru[..., None, :]  # (..., N, 4, 3)
+    Mv = alphas[..., :, None] * rv[..., None, :]
+    Mu = Mu.reshape(Mu.shape[:-2] + (12,)) * w[..., None]
+    Mv = Mv.reshape(Mv.shape[:-2] + (12,)) * w[..., None]
+    M = jnp.concatenate([Mu, Mv], axis=-2)  # (..., 2N, 12)
+    MtM = jnp.einsum("...ni,...nj->...ij", M, M)
+    _, V = jnp.linalg.eigh(MtM)
+    # Candidate kernel vectors (up to 4 smallest).
+    vs = V[..., :, :4]  # (..., 12, 4) columns = eigvecs ascending
+
+    d_world = _pairwise_dists(ctrl)  # (..., 6)
+
+    def beta_case1(vcol):
+        cc = vcol.reshape(vcol.shape[:-1] + (4, 3))
+        d_cam = _pairwise_dists(cc)
+        # _pairwise_dists returns squared distances: d_cam scales as beta^2.
+        beta2 = jnp.sum(d_cam * d_world, axis=-1) / jnp.sum(
+            d_cam * d_cam, axis=-1
+        ).clip(_EPS)
+        beta = jnp.sqrt(jnp.maximum(beta2, 0.0))
+        return beta[..., None] * vcol
+
+    # Case N=1 on each of the two smallest kernel vectors; pick best by
+    # reprojection after pose recovery.
+    cands = [beta_case1(vs[..., :, 0]), beta_case1(vs[..., :, 1])]
+    Rs, ts, errs = [], [], []
+    for x in cands:
+        cc = x.reshape(x.shape[:-1] + (4, 3))
+        pts_cam = jnp.einsum("...ni,...ij->...nj", alphas, cc)  # (..., N, 3)
+        # Flip if depths negative.
+        sgn = jnp.where(
+            jnp.sum(pts_cam[..., 2] * w, axis=-1, keepdims=True) < 0, -1.0, 1.0
+        )
+        pts_cam = pts_cam * sgn[..., None]
+        R, t = kabsch(world, pts_cam, mask=w > 0)
+        R, t = gauss_newton_pose_refine(R, t, world, obs_norm, mask=w > 0, iters=5)
+        pc = jnp.einsum("...ij,...nj->...ni", R, world) + t[..., None, :]
+        z = pc[..., 2:].clip(1e-6)
+        rep = jnp.sum(
+            jnp.sum((pc[..., :2] / z - obs_norm) ** 2, axis=-1) * w, axis=-1
+        )
+        Rs.append(R)
+        ts.append(t)
+        errs.append(rep)
+    errs = jnp.stack(errs, axis=-1)
+    best = jnp.argmin(errs, axis=-1)
+    R = jnp.where((best == 0)[..., None, None], Rs[0], Rs[1])
+    t = jnp.where((best == 0)[..., None], ts[0], ts[1])
+    zf = jnp.einsum("...ij,...nj->...ni", R, world)[..., 2] + t[..., None, 2]
+    valid = (
+        jnp.all((zf > 0) | (w == 0), axis=-1)
+        & jnp.all(jnp.isfinite(R), axis=(-1, -2))
+        & jnp.all(jnp.isfinite(t), axis=-1)
+    )
+    return R, t, valid
+
+
+def _pairwise_dists(pts4: jnp.ndarray) -> jnp.ndarray:
+    """Squared distances between the 6 pairs of 4 points. pts4: (..., 4, 3)."""
+    idx = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    return jnp.stack(
+        [jnp.sum((pts4[..., i, :] - pts4[..., j, :]) ** 2, axis=-1) for i, j in idx],
+        axis=-1,
+    )
+
+
+@f32_matmuls
 def gauss_newton_pose_refine(
     R: jnp.ndarray,
     t: jnp.ndarray,

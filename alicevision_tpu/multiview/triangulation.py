@@ -11,9 +11,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..numeric import f32_matmuls
+
 _EPS = 1e-12
 
 
+@f32_matmuls
 def triangulate_dlt(P1: jnp.ndarray, P2: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
     """Two-view DLT. P: (..., 3, 4) projection matrices, x: (..., 2) pixels.
 
@@ -33,6 +36,7 @@ def triangulate_dlt(P1: jnp.ndarray, P2: jnp.ndarray, x1: jnp.ndarray, x2: jnp.n
     return X[..., :3] / jnp.where(jnp.abs(X[..., 3:]) < _EPS, _EPS, X[..., 3:])
 
 
+@f32_matmuls
 def triangulate_nview(
     P: jnp.ndarray, x: jnp.ndarray, mask: jnp.ndarray | None = None
 ) -> jnp.ndarray:
@@ -58,6 +62,7 @@ def triangulate_nview(
     return X[..., :3] / jnp.where(jnp.abs(X[..., 3:]) < _EPS, _EPS, X[..., 3:])
 
 
+@f32_matmuls
 def triangulate_midpoint(
     centers: jnp.ndarray, rays: jnp.ndarray, mask: jnp.ndarray | None = None
 ) -> jnp.ndarray:

@@ -8,9 +8,31 @@ so cubic/quartic roots use Cardano/trig formulas that batch on the VPU.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-12
+
+
+def f32_matmuls(fn):
+    """Trace ``fn`` with float32 matmul precision.
+
+    On TPU the MXU truncates matmul operands to bfloat16 by default, which
+    is fine for similarity scores (descriptor matching, ZNCC volumes) but
+    wrong for geometry: 3x3 rotation products and J^T J normal equations
+    lose ~3 decimal digits and Gauss-Newton stalls at 1e-3 residuals.
+    Solver entry points wrap themselves with this decorator; large-volume
+    score kernels deliberately do not.
+    """
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 def cbrt(x: jnp.ndarray) -> jnp.ndarray:

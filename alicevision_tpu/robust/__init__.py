@@ -1,6 +1,7 @@
 from .ransac import (
     ACRansacSelection,
     acransac_select,
+    lmeds_select,
     log10_choose,
     logalpha0_line,
     logalpha0_point,
@@ -22,6 +23,7 @@ __all__ = [
     "RobustModel",
     "RobustPose",
     "acransac_select",
+    "lmeds_select",
     "log10_choose",
     "logalpha0_line",
     "logalpha0_point",

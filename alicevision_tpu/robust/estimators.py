@@ -16,6 +16,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..numeric import f32_matmuls
+
 from .. import multiview as mv
 from .ransac import (
     acransac_select,
@@ -33,6 +35,7 @@ class RobustModel(NamedTuple):
     threshold_sq: jnp.ndarray  # () adaptive threshold
 
 
+@f32_matmuls
 def robust_fundamental(
     key: jax.Array,
     x1: jnp.ndarray,
@@ -68,6 +71,7 @@ def robust_fundamental(
     return RobustModel(F_out, inl_out, jnp.sum(inl_out), sel.best_nfa, sel.threshold_sq)
 
 
+@f32_matmuls
 def robust_essential(
     key: jax.Array,
     x1n: jnp.ndarray,
@@ -107,6 +111,7 @@ def robust_essential(
     return RobustModel(E_out, inl_out, jnp.sum(inl_out), sel.best_nfa, sel.threshold_sq)
 
 
+@f32_matmuls
 def robust_homography(
     key: jax.Array,
     x1: jnp.ndarray,
@@ -147,6 +152,7 @@ class RobustPose(NamedTuple):
     threshold_sq: jnp.ndarray  # in normalized-plane units
 
 
+@f32_matmuls
 def robust_resection_p3p(
     key: jax.Array,
     world: jnp.ndarray,
@@ -212,6 +218,7 @@ def robust_resection_p3p(
     )
 
 
+@f32_matmuls
 def robust_relative_pose(
     key: jax.Array,
     x1n: jnp.ndarray,

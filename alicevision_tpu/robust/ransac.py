@@ -150,6 +150,43 @@ def simple_select(
     )
 
 
+def lmeds_select(
+    res_sq: jnp.ndarray,
+    sample_size: int,
+    valid: jnp.ndarray | None = None,
+) -> ACRansacSelection:
+    """Least-median-of-squares selection (ref: robustEstimation/LMeds.hpp).
+
+    Picks the hypothesis minimizing the median squared residual over valid
+    data, then derives the classic LMedS inlier threshold from the robust
+    scale estimate sigma = 1.4826 (1 + 5/(n - s)) sqrt(med).
+    """
+    H, N = res_sq.shape
+    if valid is None:
+        valid = jnp.ones((N,), bool)
+    n_valid = jnp.sum(valid).astype(jnp.float32)
+    big = jnp.float32(1e18)
+    res = jnp.where(valid[None, :] & jnp.isfinite(res_sq), res_sq, big)
+    res_sorted = jnp.sort(res, axis=-1)
+    # Median over the *valid* prefix: index floor(n_valid / 2).
+    med_idx = jnp.clip((n_valid / 2.0).astype(jnp.int32), 0, N - 1)
+    med = res_sorted[:, med_idx]  # (H,)
+    best_hyp = jnp.argmin(med)
+    med_best = med[best_hyp]
+    sigma = 1.4826 * (1.0 + 5.0 / jnp.maximum(n_valid - sample_size, 1.0)) * jnp.sqrt(
+        jnp.maximum(med_best, 0.0)
+    )
+    thr = (2.5 * sigma) ** 2
+    inliers = (res_sq[best_hyp] <= thr) & valid
+    return ACRansacSelection(
+        best_hyp=best_hyp,
+        best_nfa=med_best,
+        threshold_sq=thr,
+        inliers=inliers,
+        n_inliers=jnp.sum(inliers),
+    )
+
+
 # Model-dependent alpha0 constants (probability that a random point falls
 # within distance r of the model), matching the reference kernels:
 #   point-to-line (F/E epipolar):  alpha0 = 2 r diam / area, mult = 0.5

@@ -227,3 +227,77 @@ def test_kabsch():
     R, t = mv.kabsch(src, dst)
     np.testing.assert_allclose(np.asarray(R), np.asarray(R_gt), atol=1e-5)
     np.testing.assert_allclose(np.asarray(t), np.asarray(t_gt), atol=1e-5)
+
+
+class TestResectionNPoint:
+    """EPnP and 6-point DLT resection against exact synthetic poses
+    (ref: multiview/resection/EPnPSolver.hpp, Resection6PSolver.hpp)."""
+
+    def _scene(self, seed, n=12):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        from alicevision_tpu.geometry.rotations import so3_exp
+
+        R = np.array(so3_exp(jnp.asarray(rng.normal(size=3) * 0.4, jnp.float32)))
+        t = rng.normal(size=3) * 0.3 + np.array([0.0, 0.0, 4.0])
+        X = rng.normal(size=(n, 3))
+        Xc = X @ R.T + t
+        uv = Xc[:, :2] / Xc[:, 2:]
+        return X, uv, R, t
+
+    def test_dlt6_exact(self):
+        from alicevision_tpu.multiview import resection_dlt6
+
+        for seed in range(3):
+            X, uv, R, t = self._scene(seed)
+            Re, te, ve = resection_dlt6(jnp.asarray(X, jnp.float32), jnp.asarray(uv, jnp.float32))
+            assert bool(ve)
+            np.testing.assert_allclose(np.asarray(Re), R, atol=2e-4)
+            np.testing.assert_allclose(np.asarray(te), t, atol=2e-3)
+
+    def test_epnp_exact(self):
+        from alicevision_tpu.multiview import epnp
+
+        for seed in range(3):
+            X, uv, R, t = self._scene(seed)
+            Re, te, ve = epnp(jnp.asarray(X, jnp.float32), jnp.asarray(uv, jnp.float32))
+            assert bool(ve)
+            np.testing.assert_allclose(np.asarray(Re), R, atol=2e-4)
+            np.testing.assert_allclose(np.asarray(te), t, atol=2e-3)
+
+    def test_epnp_masked_and_batched(self):
+        from alicevision_tpu.multiview import epnp
+
+        X, uv, R, t = self._scene(7, n=16)
+        # Corrupt the last 4 points but mask them out.
+        uv2 = uv.copy()
+        uv2[-4:] += 10.0
+        mask = np.ones(16, bool)
+        mask[-4:] = False
+        Re, te, ve = epnp(
+            jnp.asarray(X, jnp.float32), jnp.asarray(uv2, jnp.float32), mask=jnp.asarray(mask)
+        )
+        assert bool(ve)
+        np.testing.assert_allclose(np.asarray(Re), R, atol=5e-4)
+        Xb = jnp.asarray(np.stack([X, X]), jnp.float32)
+        uvb = jnp.asarray(np.stack([uv, uv]), jnp.float32)
+        Rb, tb, vb = epnp(Xb, uvb)
+        assert Rb.shape == (2, 3, 3) and tb.shape == (2, 3) and vb.shape == (2,)
+
+
+def test_lmeds_select_rejects_outliers():
+    """LMedS picks the model supported by the inlier majority
+    (ref: robustEstimation/LMeds.hpp)."""
+    from alicevision_tpu.robust import lmeds_select
+
+    rng = np.random.default_rng(0)
+    n = 100
+    res_good = np.abs(rng.normal(size=n)) * 1e-3
+    res_good[60:] = np.abs(rng.normal(size=40)) * 10.0  # 40% outliers
+    res_bad = np.abs(rng.normal(size=n)) * 5.0
+    res_sq = jnp.asarray(np.stack([res_bad, res_good]) ** 2, jnp.float32)
+    sel = lmeds_select(res_sq, sample_size=2)
+    assert int(sel.best_hyp) == 1
+    assert int(sel.n_inliers) >= 55
+    assert bool(np.all(np.asarray(sel.inliers)[:55]))
