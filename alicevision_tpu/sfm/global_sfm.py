@@ -82,6 +82,77 @@ def rotation_averaging_l2(
     return R
 
 
+def rotation_averaging_l1(
+    n_views: int,
+    edges: np.ndarray,
+    R_rel: jnp.ndarray,
+    outer_iters: int = 8,
+    irls_eps: float = 1e-3,
+) -> jnp.ndarray:
+    """L1 rotation averaging, IRLS in the tangent space [Chatterjee-Govindu]
+    (ref: multiview/rotationAveraging/l1.cpp — same fixed point, different
+    numerics: the reference runs sparse successive relaxation, here each
+    IRLS step is one dense (3V, 3V) solve batched on the chip).
+
+    Starts from the L2-chordal eigen solution, then repeats: per-edge
+    residual r_e = log(R_j (R_ij R_i)^T), solve the graph Laplacian system
+    for per-view tangent updates with weights 1/max(|r_e|, eps).
+    """
+    from ..geometry.rotations import so3_exp
+
+    ii = jnp.asarray(edges[:, 0])
+    jj = jnp.asarray(edges[:, 1])
+    E = len(edges)
+    R = rotation_averaging_l2(n_views, edges, R_rel)
+
+    eye3 = jnp.eye(3)
+
+    for _ in range(outer_iters):
+        # Residual rotation per edge; want delta_j - delta_i = -log M_e.
+        M = jnp.einsum("eij,ekj->eik", R[jj], jnp.einsum("eij,ejk->eik", R_rel, R[ii]))
+        r = so3_log(M)  # (E, 3)
+        w = 1.0 / jnp.maximum(jnp.linalg.norm(r, axis=-1), irls_eps)
+        # Weighted graph Laplacian over 3-vectors (block diagonal scalar).
+        L = jnp.zeros((n_views, n_views))
+        L = L.at[ii, jj].add(-w).at[jj, ii].add(-w)
+        L = L.at[ii, ii].add(w).at[jj, jj].add(w)
+        # rhs: sum over incident edges of +-w r
+        b = jnp.zeros((n_views, 3)).at[jj].add(-w[:, None] * r).at[ii].add(w[:, None] * r)
+        # Gauge: pin view 0.
+        L = L.at[0, :].set(0.0).at[:, 0].set(0.0).at[0, 0].set(1.0)
+        b = b.at[0].set(0.0)
+        delta = jnp.linalg.solve(L + 1e-9 * jnp.eye(n_views), b)  # (V, 3)
+        R = jnp.einsum("vij,vjk->vik", so3_exp(delta), R)
+    # Re-fix gauge R_0 = I.
+    return jnp.einsum("vij,kj->vik", R, R[0])
+
+
+def translation_averaging_l1soft(
+    n_views: int,
+    edges: np.ndarray,
+    dirs_world: jnp.ndarray,
+    outer_iters: int = 6,
+    irls_eps: float = 1e-3,
+) -> jnp.ndarray:
+    """Soft-L1 translation averaging: IRLS over the L2-chordal system
+    (ref: translationAveraging/solverL1Soft semantics — robust loss on the
+    per-edge chordal residual, realized as reweighted dense solves)."""
+    edges = np.asarray(edges)
+    ii, jj = edges[:, 0], edges[:, 1]
+    d = np.asarray(dirs_world)
+    w = None
+    c = translation_averaging_l2(n_views, edges, jnp.asarray(d))
+    for _ in range(outer_iters):
+        cn = np.asarray(c)
+        diff = cn[jj] - cn[ii]
+        # Residual against the best per-edge scale (projection onto d).
+        s = np.maximum(np.sum(diff * d, axis=-1), 1e-9)
+        res = np.linalg.norm(diff - s[:, None] * d, axis=-1)
+        w = 1.0 / np.sqrt(np.maximum(res, irls_eps))
+        c = translation_averaging_l2(n_views, edges, jnp.asarray(d), weights=w)
+    return c
+
+
 def rotation_residuals_deg(R, edges, R_rel) -> jnp.ndarray:
     """Per-edge angular residual of the averaged rotations (degrees)."""
     ii, jj = edges[:, 0], edges[:, 1]

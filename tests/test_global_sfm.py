@@ -103,3 +103,65 @@ def test_global_sfm_driver():
     err = np.linalg.norm((c - mu_a) @ (s * Rs).T + mu_b - c_gt, axis=-1).max()
     scale = np.linalg.norm(c_gt - mu_b, axis=-1).max()
     assert err < 0.15 * scale, (err, scale)
+
+
+def test_rotation_averaging_l1_outlier_edges():
+    """L1 averaging survives corrupted relative rotations that break L2
+    (ref: multiview/rotationAveraging/l1.cpp)."""
+    import numpy as np
+    from alicevision_tpu.sfm.global_sfm import (
+        rotation_averaging_l1,
+        rotation_residuals_deg,
+        relative_motions_from_poses,
+    )
+    from alicevision_tpu.geometry.rotations import so3_exp
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    n = 8
+    R_gt = np.array([np.asarray(so3_exp(jnp.asarray(rng.normal(size=3) * 0.5, jnp.float32))) for _ in range(n)])
+    edges, rels = [], []
+    for i in range(n):
+        for j in range(i + 1, n):
+            edges.append((i, j))
+            rels.append(R_gt[j] @ R_gt[i].T)
+    edges = np.array(edges)
+    rels = np.array(rels, np.float32)
+    # Corrupt 15% of edges with large random rotations.
+    n_bad = int(0.15 * len(edges))
+    for e in range(n_bad):
+        rels[e] = np.asarray(so3_exp(jnp.asarray(rng.normal(size=3) * 2.0, jnp.float32))) @ rels[e]
+
+    R_est = rotation_averaging_l1(n, edges, jnp.asarray(rels))
+    res = np.asarray(rotation_residuals_deg(R_est, jnp.asarray(edges), jnp.asarray(rels)))
+    # Clean edges must be consistent to a fraction of a degree.
+    assert np.median(res[n_bad:]) < 0.5, np.median(res[n_bad:])
+
+
+def test_translation_averaging_l1soft_outliers():
+    import numpy as np
+    import jax.numpy as jnp
+    from alicevision_tpu.sfm.global_sfm import translation_averaging_l1soft
+
+    rng = np.random.default_rng(1)
+    n = 8
+    centers = rng.normal(size=(n, 3)) * 3.0
+    edges, dirs = [], []
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = centers[j] - centers[i]
+            edges.append((i, j))
+            dirs.append(d / np.linalg.norm(d))
+    edges = np.array(edges)
+    dirs = np.array(dirs)
+    # Corrupt a few directions.
+    for e in range(3):
+        v = rng.normal(size=3)
+        dirs[e] = v / np.linalg.norm(v)
+    c = np.asarray(translation_averaging_l1soft(n, edges, jnp.asarray(dirs)))
+    # Align (translation + scale) and compare.
+    c0 = c - c.mean(0)
+    g0 = centers - centers.mean(0)
+    s = np.sum(c0 * g0) / np.sum(c0 * c0)
+    err = np.linalg.norm(s * c0 - g0, axis=-1).max()
+    assert err < 0.25, err
