@@ -1,7 +1,9 @@
 from .delaunay_graphcut import graph_cut_surface, tetrahedralize
+from .denoise import denoise_sd, mask_faces_by_views, resample
 from .ops import (
     compact,
     decimate_grid,
+    decimate_qem,
     laplacian_smooth,
     largest_component,
     load_obj,
@@ -14,10 +16,14 @@ __all__ = [
     "bake_vertex_colors",
     "compact",
     "decimate_grid",
+    "decimate_qem",
+    "denoise_sd",
     "graph_cut_surface",
     "laplacian_smooth",
     "largest_component",
     "load_obj",
+    "mask_faces_by_views",
+    "resample",
     "save_obj",
     "tetrahedralize",
     "vertex_normals",

@@ -156,7 +156,30 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("meshDecimate")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
-    p.add_argument("--cellSize", type=float, required=True)
+    p.add_argument("--cellSize", type=float, default=None, help="grid clustering cell")
+    p.add_argument("--targetFaces", type=int, default=None, help="QEM decimation target")
+    _add_common(p)
+
+    p = sub.add_parser("meshDenoising")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--iterations", type=int, default=8)
+    p.add_argument("--sigmaNormal", type=float, default=0.35)
+    _add_common(p)
+
+    p = sub.add_parser("meshResampling")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--targetEdge", type=float, required=True)
+    _add_common(p)
+
+    p = sub.add_parser("meshMasking")
+    p.add_argument("--input", required=True, help="posed .sfm")
+    p.add_argument("--mesh", required=True)
+    p.add_argument("--masks", required=True, help="folder of <viewId>.png masks")
+    p.add_argument("--output", required=True)
+    p.add_argument("--minViews", type=int, default=1)
+    p.add_argument("--invert", action="store_true")
     _add_common(p)
 
     p = sub.add_parser("texturing")
@@ -377,10 +400,60 @@ def main(argv=None) -> int:
         v = laplacian_smooth(v, f, iterations=args.smoothIters)
         save_obj(args.output, v, f)
     elif args.cmd == "meshDecimate":
-        from ..mesh import decimate_grid, load_obj, save_obj
+        from ..mesh import decimate_grid, decimate_qem, load_obj, save_obj
 
         v, f = load_obj(args.input)
-        v, f = decimate_grid(v, f, args.cellSize)
+        if args.targetFaces is not None:
+            v, f = decimate_qem(v, f, args.targetFaces)
+        elif args.cellSize is not None:
+            v, f = decimate_grid(v, f, args.cellSize)
+        else:
+            raise SystemExit("meshDecimate: give --targetFaces (QEM) or --cellSize (grid)")
+        save_obj(args.output, v, f)
+    elif args.cmd == "meshDenoising":
+        from ..mesh import denoise_sd, load_obj, save_obj
+
+        v, f = load_obj(args.input)
+        v = denoise_sd(v, f, iterations=args.iterations, sigma_n=args.sigmaNormal)
+        save_obj(args.output, v, f)
+    elif args.cmd == "meshResampling":
+        from ..mesh import load_obj, resample, save_obj
+
+        v, f = load_obj(args.input)
+        v, f = resample(v, f, target_edge=args.targetEdge)
+        save_obj(args.output, v, f)
+    elif args.cmd == "meshMasking":
+        import os
+
+        import numpy as np
+
+        from .. import sfmdata
+        from ..image.io import read_image
+        from ..mesh import load_obj, mask_faces_by_views, save_obj
+
+        sc = sfmdata.load(args.input)
+        v, f = load_obj(args.mesh)
+        projs, masks = [], []
+        for vidx in sc.valid_views():
+            path = os.path.join(args.masks, f"{int(sc.view_ids[vidx])}.png")
+            if not os.path.exists(path):
+                continue
+            m = read_image(path)
+            if m.ndim == 3:
+                m = m[..., 0]
+            masks.append(m > 0.5)
+            K, R, c = sc.camera_matrices(vidx)
+
+            def proj(X, K=K, R=R, c=c):
+                Xc = (X - c) @ R.T
+                z = Xc[:, 2]
+                uvh = Xc @ K.T
+                return uvh[:, :2] / np.maximum(uvh[:, 2:], 1e-9), z
+
+            projs.append(proj)
+        v, f = mask_faces_by_views(
+            v, f, projs, masks, min_views=args.minViews, invert=args.invert
+        )
         save_obj(args.output, v, f)
     elif args.cmd == "texturing":
         import numpy as np

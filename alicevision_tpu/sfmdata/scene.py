@@ -132,6 +132,17 @@ class SfMData:
             (self.view_pose != INVALID) & (self.view_intrinsic != INVALID)
         )[0]
 
+    def camera_matrices(self, view_idx: int):
+        """(K, R, c) for one posed view — the host-side convenience every
+        export/masking stage needs (ref: mvsUtils/MultiViewParams.hpp:86
+        per-camera P/K/R/C tables)."""
+        ii = int(self.view_intrinsic[view_idx])
+        p = int(self.view_pose[view_idx])
+        fx, fy = self.scale[ii]
+        pp = self.offset[ii] + 0.5 * self.sizes[ii]
+        K = np.array([[fx, 0.0, pp[0]], [0.0, fy, pp[1]], [0.0, 0.0, 1.0]])
+        return K, self.pose_R[p], self.pose_c[p]
+
     def intrinsics_table(self, dtype=np.float32) -> cam.Intrinsics:
         """Batched jnp Intrinsics for the compute path."""
         import jax.numpy as jnp

@@ -108,3 +108,97 @@ def test_bake_vertex_colors():
     # left vertices darker than right vertices
     assert cols[0, 0] < cols[1, 0]
     assert cols[3, 0] < cols[2, 0]
+
+
+# ---------------------------------------------------------------------------
+# Round-1 additions: denoise / resample / QEM decimate / masking
+# ---------------------------------------------------------------------------
+
+
+def _unit_sphere_mesh(n_sub=3):
+    """Icosphere via subdivision of an octahedron projected to the sphere."""
+    v = np.array(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        np.float64,
+    )
+    f = np.array(
+        [[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+         [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]],
+        np.int64,
+    )
+    for _ in range(n_sub):
+        mids = {}
+        nv = list(v)
+        nf = []
+        def mid(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in mids:
+                m = v[a] + v[b]
+                m = m / np.linalg.norm(m)
+                mids[key] = len(nv)
+                nv.append(m)
+            return mids[key]
+        for a, b, c in f:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            nf += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+        v = np.array(nv)
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        f = np.array(nf, np.int64)
+    return v, f
+
+
+def test_denoise_sd_reduces_noise():
+    from alicevision_tpu.mesh import denoise_sd
+
+    v, f = _unit_sphere_mesh(3)
+    rng = np.random.default_rng(0)
+    noisy = v + rng.normal(size=v.shape) * 0.02
+    den = denoise_sd(noisy, f, iterations=5)
+    r_noisy = np.abs(np.linalg.norm(noisy, axis=1) - 1.0).mean()
+    r_den = np.abs(np.linalg.norm(den, axis=1) - 1.0).mean()
+    assert r_den < 0.5 * r_noisy, (r_noisy, r_den)
+
+
+def test_decimate_qem_sphere():
+    from alicevision_tpu.mesh import decimate_qem
+
+    v, f = _unit_sphere_mesh(3)
+    v2, f2 = decimate_qem(v, f, target_faces=len(f) // 4)
+    assert len(f2) <= len(f) // 3
+    # Surface stays on the unit sphere to a few percent.
+    r = np.linalg.norm(v2, axis=1)
+    assert np.abs(r - 1.0).max() < 0.08, np.abs(r - 1.0).max()
+    # Still one closed-ish component with reasonable vertex count.
+    assert len(v2) > 20
+
+
+def test_resample_density():
+    from alicevision_tpu.mesh import resample
+
+    v, f = _unit_sphere_mesh(2)
+    target = 0.12
+    v2, f2 = resample(v, f, target_edge=target, smooth_iters=2)
+    e = np.concatenate([f2[:, [0, 1]], f2[:, [1, 2]], f2[:, [2, 0]]])
+    lens = np.linalg.norm(v2[e[:, 0]] - v2[e[:, 1]], axis=1)
+    assert 0.3 * target < np.median(lens) < 3.0 * target
+    r = np.linalg.norm(v2, axis=1)
+    assert np.abs(r - 1.0).max() < 0.1
+
+
+def test_mask_faces_by_views():
+    from alicevision_tpu.mesh import mask_faces_by_views
+
+    v, f = _unit_sphere_mesh(2)
+
+    # One orthographic "camera" looking down -z: mask keeps x > 0 half.
+    mask = np.zeros((100, 100), bool)
+    mask[:, 50:] = True
+
+    def proj(X):
+        uv = np.stack([X[:, 0] * 40 + 50, X[:, 1] * 40 + 50], axis=1)
+        return uv, np.ones(len(X))
+
+    v2, f2 = mask_faces_by_views(v, f, [proj], [mask], min_views=1)
+    c = v2[f2].mean(1)
+    assert (c[:, 0] > -0.05).all()
+    assert len(f2) < len(f)
