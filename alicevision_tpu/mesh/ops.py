@@ -197,6 +197,61 @@ def save_obj(path: str, vertices: np.ndarray, faces: np.ndarray, colors=None):
             f.write(f"f {t[0]+1} {t[1]+1} {t[2]+1}\n")
 
 
+def save_ply_mesh(path: str, vertices: np.ndarray, faces: np.ndarray, colors=None):
+    """ASCII PLY with faces (ref: mesh/Mesh.cpp save paths)."""
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(vertices)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if colors is not None:
+            f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write(f"element face {len(faces)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        if colors is not None:
+            for v, c in zip(vertices, colors):
+                f.write(f"{v[0]} {v[1]} {v[2]} {int(c[0])} {int(c[1])} {int(c[2])}\n")
+        else:
+            for v in vertices:
+                f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        for t in faces:
+            f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+
+
+def load_ply_mesh(path: str):
+    """ASCII PLY mesh reader (vertices + triangular faces)."""
+    with open(path) as f:
+        assert f.readline().strip() == "ply"
+        n_v = n_f = 0
+        props_per_vertex = 0
+        in_vertex = False
+        while True:
+            line = f.readline().strip()
+            if line.startswith("element vertex"):
+                n_v = int(line.split()[-1])
+                in_vertex = True
+            elif line.startswith("element face"):
+                n_f = int(line.split()[-1])
+                in_vertex = False
+            elif line.startswith("property") and in_vertex:
+                props_per_vertex += 1
+            elif line == "end_header":
+                break
+        vs = np.zeros((n_v, 3))
+        cols = None
+        for i in range(n_v):
+            parts = f.readline().split()
+            vs[i] = [float(x) for x in parts[:3]]
+            if props_per_vertex >= 6:
+                if cols is None:
+                    cols = np.zeros((n_v, 3), np.uint8)
+                cols[i] = [int(float(x)) for x in parts[3:6]]
+        fs = np.zeros((n_f, 3), np.int32)
+        for i in range(n_f):
+            parts = f.readline().split()
+            fs[i] = [int(x) for x in parts[1:4]]
+    return vs, fs, cols
+
+
 def load_obj(path: str):
     vs, fs = [], []
     with open(path) as f:

@@ -264,6 +264,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True)
     _add_common(p)
 
+    p = sub.add_parser("exportMVE2")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    _add_common(p)
+
+    p = sub.add_parser("exportPMVS")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    _add_common(p)
+
+    p = sub.add_parser("exportUSD")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True, help=".usda path")
+    p.add_argument("--mesh", default=None, help="optional .obj to embed")
+    _add_common(p)
+
+    p = sub.add_parser("convertMesh")
+    p.add_argument("--input", required=True, help=".obj or .ply mesh")
+    p.add_argument("--output", required=True, help=".obj or .ply mesh")
+    _add_common(p)
+
     p = sub.add_parser("sfmStatistics")
     p.add_argument("--input", required=True)
     p.add_argument("--output", default=None, help="HTML report path")
@@ -423,8 +444,6 @@ def main(argv=None) -> int:
         v, f = resample(v, f, target_edge=args.targetEdge)
         save_obj(args.output, v, f)
     elif args.cmd == "meshMasking":
-        import os
-
         import numpy as np
 
         from .. import sfmdata
@@ -649,6 +668,39 @@ def main(argv=None) -> int:
         from ..sfmdata.export import export_colmap
 
         export_colmap(sfmdata.load(args.input), args.output)
+    elif args.cmd == "exportMVE2":
+        from .. import sfmdata
+        from ..sfmdata.export import export_mve2
+
+        export_mve2(sfmdata.load(args.input), args.output)
+    elif args.cmd == "exportPMVS":
+        from .. import sfmdata
+        from ..sfmdata.export import export_pmvs
+
+        export_pmvs(sfmdata.load(args.input), args.output)
+    elif args.cmd == "exportUSD":
+        from .. import sfmdata
+        from ..sfmdata.export import export_usd
+
+        mesh = None
+        if args.mesh:
+            from ..mesh import load_obj
+
+            mesh = load_obj(args.mesh)
+        export_usd(sfmdata.load(args.input), args.output, mesh=mesh)
+    elif args.cmd == "convertMesh":
+        from ..mesh import load_obj, save_obj
+        from ..mesh.ops import load_ply_mesh, save_ply_mesh
+
+        cols = None
+        if args.input.endswith(".ply"):
+            v, f, cols = load_ply_mesh(args.input)
+        else:
+            v, f = load_obj(args.input)
+        if args.output.endswith(".ply"):
+            save_ply_mesh(args.output, v, f, colors=cols)
+        else:
+            save_obj(args.output, v, f)
     elif args.cmd == "sfmStatistics":
         from .. import sfmdata
         from ..sfm import statistics as stt

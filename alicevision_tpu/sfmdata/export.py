@@ -246,3 +246,169 @@ def import_colmap(model_dir: str) -> SfMData:
         R = np.asarray(quat_to_mat(jnp.asarray(q / np.linalg.norm(q))))
         sc.set_pose(vi, R, -R.T @ t)
     return sc
+
+
+def export_mve2(scene: SfMData, out_dir: str) -> None:
+    """MVE scene layout: synth_0.out bundler file + views/view_%04d.mve/meta.ini
+    (ref: src/software/export/main_exportMVE2.cpp). Cameras use the bundler
+    convention (world->cam R, t with the camera looking down -z)."""
+    os.makedirs(out_dir, exist_ok=True)
+    views_dir = os.path.join(out_dir, "views")
+    os.makedirs(views_dir, exist_ok=True)
+    valid = scene.valid_views()
+    vid_to_seq = {int(v): k for k, v in enumerate(valid)}
+
+    # Bundler flips y/z relative to our (x right, y down, z forward).
+    flip = np.diag([1.0, -1.0, -1.0])
+    with open(os.path.join(out_dir, "synth_0.out"), "w") as f:
+        f.write("drews 1.0\n")
+        f.write(f"{len(valid)} {scene.n_landmarks}\n")
+        for v in valid:
+            ii = int(scene.view_intrinsic[v])
+            p = int(scene.view_pose[v])
+            focal = float(scene.scale[ii, 0])
+            R = flip @ scene.pose_R[p]
+            t = -R @ scene.pose_c[p]
+            f.write(f"{focal} 0 0\n")
+            for r in R:
+                f.write(f"{r[0]} {r[1]} {r[2]}\n")
+            f.write(f"{t[0]} {t[1]} {t[2]}\n")
+        X = scene.points
+        col = (
+            scene.point_colors
+            if getattr(scene, "point_colors", None) is not None
+            and len(getattr(scene, "point_colors", []))
+            else np.full((scene.n_landmarks, 3), 128)
+        )
+        obs_by_lm = {}
+        for o in range(scene.n_observations):
+            obs_by_lm.setdefault(int(scene.obs_landmark[o]), []).append(o)
+        for l in range(scene.n_landmarks):
+            f.write(f"{X[l, 0]} {X[l, 1]} {X[l, 2]}\n")
+            c = col[l]
+            f.write(f"{int(c[0])} {int(c[1])} {int(c[2])}\n")
+            obs = [
+                o
+                for o in obs_by_lm.get(l, [])
+                if int(scene.obs_view[o]) in vid_to_seq
+            ]
+            parts = [str(len(obs))]
+            for o in obs:
+                seq = vid_to_seq[int(scene.obs_view[o])]
+                uv = scene.obs_uv[o]
+                parts += [str(seq), str(o), f"{uv[0]}", f"{uv[1]}"]
+            f.write(" ".join(parts) + "\n")
+
+    for k, v in enumerate(valid):
+        vdir = os.path.join(views_dir, f"view_{k:04d}.mve")
+        os.makedirs(vdir, exist_ok=True)
+        ii = int(scene.view_intrinsic[v])
+        p = int(scene.view_pose[v])
+        w, h = float(scene.sizes[ii, 0]), float(scene.sizes[ii, 1])
+        fnorm = float(scene.scale[ii, 0]) / max(w, h)
+        R = flip @ scene.pose_R[p]
+        t = -R @ scene.pose_c[p]
+        pp = (scene.offset[ii] + 0.5 * scene.sizes[ii]) / np.array([w, h])
+        with open(os.path.join(vdir, "meta.ini"), "w") as f:
+            f.write("[camera]\n")
+            f.write(f"focal_length = {fnorm}\n")
+            f.write(f"pixel_aspect = 1\n")
+            f.write(f"principal_point = {pp[0]} {pp[1]}\n")
+            f.write("rotation = " + " ".join(str(x) for x in R.ravel()) + "\n")
+            f.write("translation = " + " ".join(str(x) for x in t) + "\n")
+            f.write("[view]\n")
+            f.write(f"id = {k}\nname = {int(scene.view_ids[v])}\n")
+
+
+def export_pmvs(scene: SfMData, out_dir: str, level: int = 1, csize: int = 2) -> None:
+    """PMVS working directory: txt/%08d.txt P-matrices + pmvs_options.txt
+    (ref: src/software/export/main_exportPMVS.cpp)."""
+    os.makedirs(os.path.join(out_dir, "txt"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "visualize"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "models"), exist_ok=True)
+    valid = scene.valid_views()
+    for k, v in enumerate(valid):
+        K, R, c = scene.camera_matrices(v)
+        t = -R @ c
+        P = K @ np.concatenate([R, t[:, None]], axis=1)
+        with open(os.path.join(out_dir, "txt", f"{k:08d}.txt"), "w") as f:
+            f.write("CONTOUR\n")
+            for row in P:
+                f.write(f"{row[0]} {row[1]} {row[2]} {row[3]}\n")
+    with open(os.path.join(out_dir, "pmvs_options.txt"), "w") as f:
+        f.write(f"level {level}\ncsize {csize}\nthreshold 0.7\nwsize 7\n")
+        f.write(f"minImageNum 3\nCPU 8\nsetEdge 0\nuseBound 0\nuseVisData 0\n")
+        f.write(f"sequence -1\ntimages -1 0 {len(valid)}\noimages 0\n")
+
+
+def export_usd(scene: SfMData, path: str, mesh=None) -> None:
+    """USD ASCII (.usda) stage with the camera rig and optional mesh
+    (ref: src/software/export/main_exportUSD.cpp — that one writes binary
+    USD via the usd SDK; the .usda text encoding is part of the same spec
+    and loads in any USD runtime)."""
+    valid = scene.valid_views()
+    lines = [
+        "#usda 1.0",
+        "(",
+        '    upAxis = "Y"',
+        "    metersPerUnit = 1",
+        ")",
+        "",
+        'def Xform "scene"',
+        "{",
+    ]
+    for v in valid:
+        ii = int(scene.view_intrinsic[v])
+        p = int(scene.view_pose[v])
+        R = scene.pose_R[p]
+        c = scene.pose_c[p]
+        # camera-to-world, column-major 4x4; USD cameras look down -Z, our
+        # convention looks down +Z: rotate pi about x.
+        cam2world = np.eye(4)
+        cam2world[:3, :3] = (np.diag([1.0, -1.0, -1.0]) @ R).T
+        cam2world[:3, 3] = c
+        w, h = float(scene.sizes[ii, 0]), float(scene.sizes[ii, 1])
+        fx = float(scene.scale[ii, 0])
+        # USD focal/aperture in tenths of world units (mm convention).
+        aperture_h = 36.0
+        focal_mm = fx / w * aperture_h
+        mat = ", ".join(
+            "(" + ", ".join(f"{cam2world[r, col]}" for r in range(4)) + ")"
+            for col in range(4)
+        )
+        lines += [
+            f'    def Camera "camera_{int(scene.view_ids[v])}"',
+            "    {",
+            f"        float focalLength = {focal_mm}",
+            f"        float horizontalAperture = {aperture_h}",
+            f"        float verticalAperture = {aperture_h * h / w}",
+            f"        matrix4d xformOp:transform = ( {mat} )",
+            '        uniform token[] xformOpOrder = ["xformOp:transform"]',
+            "    }",
+        ]
+    if scene.n_landmarks:
+        pts = ", ".join(
+            f"({x[0]}, {x[1]}, {x[2]})" for x in np.asarray(scene.points)
+        )
+        lines += [
+            '    def Points "structure"',
+            "    {",
+            f"        point3f[] points = [{pts}]",
+            "    }",
+        ]
+    if mesh is not None:
+        V, F = mesh
+        pts = ", ".join(f"({p[0]}, {p[1]}, {p[2]})" for p in np.asarray(V))
+        counts = ", ".join("3" for _ in range(len(F)))
+        idx = ", ".join(str(int(i)) for i in np.asarray(F).ravel())
+        lines += [
+            '    def Mesh "surface"',
+            "    {",
+            f"        int[] faceVertexCounts = [{counts}]",
+            f"        int[] faceVertexIndices = [{idx}]",
+            f"        point3f[] points = [{pts}]",
+            "    }",
+        ]
+    lines.append("}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

@@ -74,3 +74,56 @@ def test_guided_match_homography():
     ok = idx2 >= 0
     assert ok.sum() > n * 0.8
     assert (idx2[ok] == np.arange(n)[ok]).all()
+
+
+def test_export_mve2_pmvs_usd_and_convert_mesh(tmp_path):
+    """Round-1 exporters (ref: software/export/main_exportMVE2.cpp,
+    main_exportPMVS.cpp, main_exportUSD.cpp, convert/main_convertMesh.cpp)."""
+    import os
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_stats_alignment_io import _consistent_scene
+    from alicevision_tpu import sfmdata
+    from alicevision_tpu.pipeline.cli import main
+    from alicevision_tpu.mesh import save_obj
+    from alicevision_tpu.mesh.ops import load_ply_mesh
+
+    sc = _consistent_scene()
+    scene_f = str(tmp_path / "scene.sfm")
+    sfmdata.save(sc, scene_f)
+
+    mve = str(tmp_path / "mve")
+    assert main(["exportMVE2", "--input", scene_f, "--output", mve]) == 0
+    assert os.path.exists(os.path.join(mve, "synth_0.out"))
+    metas = [d for d in os.listdir(os.path.join(mve, "views")) if d.endswith(".mve")]
+    assert len(metas) == len(sc.valid_views())
+    header = open(os.path.join(mve, "synth_0.out")).readlines()
+    n_cams, n_pts = (int(x) for x in header[1].split())
+    assert n_cams == len(sc.valid_views()) and n_pts == sc.n_landmarks
+
+    pmvs = str(tmp_path / "pmvs")
+    assert main(["exportPMVS", "--input", scene_f, "--output", pmvs]) == 0
+    txts = os.listdir(os.path.join(pmvs, "txt"))
+    assert len(txts) == len(sc.valid_views())
+    first = open(os.path.join(pmvs, "txt", sorted(txts)[0])).read().splitlines()
+    assert first[0] == "CONTOUR" and len(first) == 4
+
+    usd = str(tmp_path / "scene.usda")
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], float)
+    f = np.array([[0, 1, 2]], np.int32)
+    mesh_f = str(tmp_path / "m.obj")
+    save_obj(mesh_f, v, f)
+    assert main(["exportUSD", "--input", scene_f, "--output", usd, "--mesh", mesh_f]) == 0
+    txt = open(usd).read()
+    assert txt.startswith("#usda 1.0")
+    assert "def Camera" in txt and "def Mesh" in txt and "def Points" in txt
+
+    ply = str(tmp_path / "m.ply")
+    assert main(["convertMesh", "--input", mesh_f, "--output", ply]) == 0
+    v2, f2, _ = load_ply_mesh(ply)
+    np.testing.assert_allclose(v2, v)
+    obj2 = str(tmp_path / "m2.obj")
+    assert main(["convertMesh", "--input", ply, "--output", obj2]) == 0
