@@ -1,6 +1,8 @@
 from .calibration import (
     DebevecResponse,
     debevec_calibrate,
+    grossberg_apply,
+    grossberg_calibrate,
     laguerre_apply,
     laguerre_calibrate,
     sample_bracket_pixels,
@@ -12,6 +14,8 @@ from .merge import estimate_brackets, merge_hdr
 __all__ = [
     "DebevecResponse",
     "debevec_calibrate",
+    "grossberg_apply",
+    "grossberg_calibrate",
     "estimate_brackets",
     "laguerre_apply",
     "laguerre_calibrate",

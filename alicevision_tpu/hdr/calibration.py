@@ -101,6 +101,58 @@ def debevec_calibrate(
     return DebevecResponse(g=x[:n_levels])
 
 
+def grossberg_basis(v: jnp.ndarray, n_coeffs: int) -> jnp.ndarray:
+    """Analytic inverse-response basis h_k on [0, 1], stacked (..., K).
+
+    The reference's GrossbergCalibrate expands the inverse response in the
+    EMoR PCA basis learned from the DoRF database
+    (ref: src/aliceVision/hdr/GrossbergCalibrate.cpp, emorCurve.cpp). The
+    EMoR tables are data we do not copy; we span the same function class —
+    smooth monotone-ish deviations from identity pinned at h(0)=0, h(1)=1 —
+    with the Fourier sine basis h_k(v) = sin(pi k v) / (pi k), which is the
+    natural orthogonal basis for that boundary condition."""
+    ks = jnp.arange(1, n_coeffs + 1, dtype=v.dtype)
+    return jnp.sin(jnp.pi * ks * v[..., None]) / (jnp.pi * ks)
+
+
+def grossberg_apply(coeffs: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Inverse response: radiance = h(v) = v + sum_k c_k h_k(v)."""
+    return v + jnp.sum(grossberg_basis(v, coeffs.shape[-1]) * coeffs, axis=-1)
+
+
+def grossberg_calibrate(
+    samples: jnp.ndarray,  # (B, N) pixel values in [0, 1], same scene points
+    exposures: jnp.ndarray,  # (B,) exposure times
+    n_coeffs: int = 6,
+    ridge: float = 1e-4,
+) -> jnp.ndarray:
+    """Grossberg-Nayar style inverse-response calibration, linear LS.
+
+    For each bracket pair (a, b): h(v_a) * t_b / t_a = h(v_b). With
+    h(v) = v + H(v) c this is linear in c — one (K, K) normal system solved
+    on-chip (ref: hdr/GrossbergCalibrate.cpp:40-120 builds the same
+    pairwise-consistency quadratic program over basis coefficients).
+    Returns coeffs (K,) for grossberg_apply.
+    """
+    B, N = samples.shape
+    rows = []
+    rhs = []
+    ws = []
+    for b in range(B - 1):
+        ratio = exposures[b + 1] / exposures[b]
+        va, vb = samples[b], samples[b + 1]
+        w = weight_triangle(va) * weight_triangle(vb)
+        # (va + Ha c) ratio = vb + Hb c  ->  (ratio Ha - Hb) c = vb - ratio va
+        A = ratio * grossberg_basis(va, n_coeffs) - grossberg_basis(vb, n_coeffs)
+        rows.append(A * w[:, None])
+        rhs.append((vb - ratio * va) * w)
+        ws.append(w)
+    A = jnp.concatenate(rows)  # (P, K)
+    r = jnp.concatenate(rhs)
+    AtA = A.T @ A + ridge * jnp.eye(n_coeffs, dtype=A.dtype)
+    return jnp.linalg.solve(AtA, A.T @ r)
+
+
 def laguerre_apply(phi: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Laguerre tone curve in [0, 1] (LaguerreBACalibration's model):
     f(x) = x + (2/pi) atan(phi sin(pi x) / (1 - phi cos(pi x)))."""

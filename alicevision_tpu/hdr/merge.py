@@ -29,13 +29,33 @@ def merge_hdr(
     exposures: jnp.ndarray,  # (B,)
     phi: jnp.ndarray | float = 0.0,  # Laguerre response parameter (0 = linear)
     highlight_rescale: bool = True,
+    response: tuple | None = None,  # ("laguerre", phi) | ("grossberg", c) | ("debevec", g)
 ) -> jnp.ndarray:
     """Radiance map: sum_b w(z_b) lin(z_b)/dt_b / sum_b w(z_b).
 
     Saturated-everywhere pixels fall back to the shortest exposure's
-    linearized value (highlight recovery)."""
-    phi = jnp.asarray(phi)
-    lin = laguerre_inverse(phi, images)
+    linearized value (highlight recovery). The inverse response defaults to
+    the Laguerre family (phi); a precomputed curve from ldrToHdrCalibration
+    can be passed via `response`."""
+    if response is not None:
+        kind, param = response
+        param = jnp.asarray(param)
+        if kind == "laguerre":
+            lin = laguerre_inverse(param, images)
+        elif kind == "grossberg":
+            from .calibration import grossberg_apply
+
+            lin = grossberg_apply(param, images)
+        elif kind == "debevec":
+            # g[z] = ln E + ln dt: exponentiate the tabulated log response.
+            n_levels = param.shape[0]
+            z = jnp.clip((images * (n_levels - 1)).astype(jnp.int32), 0, n_levels - 1)
+            lin = jnp.exp(param[z])
+        else:  # pragma: no cover
+            raise ValueError(f"unknown response kind {kind!r}")
+    else:
+        phi = jnp.asarray(phi)
+        lin = laguerre_inverse(phi, images)
     shape = [-1] + [1] * (images.ndim - 1)
     dt = exposures.reshape(shape)
     w = weight_gaussian(images)

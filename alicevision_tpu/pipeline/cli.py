@@ -320,10 +320,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--step", type=int, default=10)
     _add_common(p)
 
+    p = sub.add_parser("ldrToHdrSampling")
+    p.add_argument("--inputFolder", required=True)
+    p.add_argument("--output", required=True, help="samples .npz")
+    p.add_argument("--nbBrackets", type=int, default=3)
+    p.add_argument("--samples", type=int, default=800)
+    _add_common(p)
+
+    p = sub.add_parser("ldrToHdrCalibration")
+    p.add_argument("--input", required=True, help="samples .npz from ldrToHdrSampling")
+    p.add_argument("--output", required=True, help="response .npz")
+    p.add_argument(
+        "--calibrationMethod",
+        choices=["laguerre", "grossberg", "debevec"],
+        default="laguerre",
+    )
+    _add_common(p)
+
     p = sub.add_parser("ldrToHdrMerge")
     p.add_argument("--inputFolder", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--nbBrackets", type=int, default=3)
+    p.add_argument("--response", default=None, help="response .npz from ldrToHdrCalibration")
     _add_common(p)
 
     p = sub.add_parser("voctreeCreation")
@@ -777,6 +795,66 @@ def main(argv=None) -> int:
         with open(args.output, "w") as f:
             for i in sel:
                 f.write(files[i] + "\n")
+    elif args.cmd == "ldrToHdrSampling":
+        import numpy as np
+
+        from .. import hdr as hdrm
+        from ..image.io import read_exif, read_image
+
+        files = sorted(
+            f for f in os.listdir(args.inputFolder)
+            if f.lower().endswith((".jpg", ".png", ".jpeg", ".tif", ".npy"))
+        )
+        imgs = np.stack(
+            [read_image(os.path.join(args.inputFolder, f)) for f in files]
+        )
+        exps = []
+        for f in files:
+            meta = read_exif(os.path.join(args.inputFolder, f))
+            exps.append(meta.get("exposure_s", 0.0))
+        if not all(e > 0 for e in exps):
+            exps = [4.0**i for i in range(len(files))]
+        groups = hdrm.estimate_brackets(np.array(exps), args.nbBrackets)
+        lum = imgs.mean(-1) if imgs.ndim == 4 else imgs
+        samples, sample_exps, group_ids = [], [], []
+        for gi, g in enumerate(groups):
+            idx = hdrm.sample_bracket_pixels(lum[g], args.samples)
+            samples.append(lum[g].reshape(len(g), -1)[:, idx])
+            sample_exps.append(np.array(exps)[g])
+            group_ids.append(gi)
+        os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+        np.savez_compressed(
+            args.output,
+            samples=np.concatenate(samples),
+            exposures=np.concatenate(sample_exps),
+            group_sizes=np.array([len(g) for g in groups]),
+        )
+    elif args.cmd == "ldrToHdrCalibration":
+        import numpy as np
+        import jax.numpy as jnp
+
+        from .. import hdr as hdrm
+
+        with np.load(args.input) as z:
+            samples = z["samples"]
+            exps = z["exposures"]
+            sizes = z["group_sizes"]
+        # Calibrate on the first bracket group (the reference does the same:
+        # one response shared across groups).
+        n0 = int(sizes[0])
+        s0 = jnp.asarray(samples[:n0], jnp.float32)
+        e0 = jnp.asarray(exps[:n0], jnp.float32)
+        out = {"method": args.calibrationMethod}
+        if args.calibrationMethod == "laguerre":
+            out["phi"] = np.asarray(hdrm.laguerre_calibrate(s0, e0))
+        elif args.calibrationMethod == "grossberg":
+            out["coeffs"] = np.asarray(hdrm.grossberg_calibrate(s0, e0))
+        else:
+            resp = hdrm.debevec_calibrate(s0, e0)
+            out["g"] = np.asarray(resp.g)
+        os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+        np.savez_compressed(args.output, **out)
+        print(json.dumps({"method": args.calibrationMethod}))
     elif args.cmd == "ldrToHdrMerge":
         import numpy as np
         import jax.numpy as jnp
@@ -800,15 +878,24 @@ def main(argv=None) -> int:
             exps = [4.0**i for i in range(len(files))]
         groups = hdrm.estimate_brackets(np.array(exps), args.nbBrackets)
         os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+        response = None
+        if args.response:
+            with np.load(args.response, allow_pickle=True) as z:
+                method = str(z["method"])
+                key = {"laguerre": "phi", "grossberg": "coeffs", "debevec": "g"}[method]
+                response = (method, np.asarray(z[key]))
         for gi, g in enumerate(groups):
             sub = jnp.asarray(imgs[g])
             ex = jnp.asarray(np.array(exps)[g], jnp.float32)
-            idx = hdrm.sample_bracket_pixels(
-                imgs[g].mean(-1) if imgs.ndim == 4 else imgs[g], 800
-            )
-            flat = (imgs[g].mean(-1) if imgs.ndim == 4 else imgs[g]).reshape(len(g), -1)
-            phi = hdrm.laguerre_calibrate(jnp.asarray(flat[:, idx]), ex)
-            merged = hdrm.merge_hdr(sub, ex, phi=phi)
+            if response is not None:
+                merged = hdrm.merge_hdr(sub, ex, response=response)
+            else:
+                idx = hdrm.sample_bracket_pixels(
+                    imgs[g].mean(-1) if imgs.ndim == 4 else imgs[g], 800
+                )
+                flat = (imgs[g].mean(-1) if imgs.ndim == 4 else imgs[g]).reshape(len(g), -1)
+                phi = hdrm.laguerre_calibrate(jnp.asarray(flat[:, idx]), ex)
+                merged = hdrm.merge_hdr(sub, ex, phi=phi)
             out = args.output if len(groups) == 1 else args.output.replace(
                 ".", f"_{gi}.", 1
             )

@@ -73,3 +73,76 @@ def test_merge_highlight_fallback():
 def test_estimate_brackets():
     groups = hdr.estimate_brackets(np.array([1, 2, 4, 1, 2, 4]), 3)
     assert groups == [[0, 1, 2], [3, 4, 5]]
+
+
+def test_grossberg_calibration_recovers_response():
+    """Grossberg-style inverse-response fit on a synthetic gamma camera
+    (ref: hdr/GrossbergCalibrate.cpp; same synthetic-curve strategy as
+    hdr/hdrTestCommon.hpp)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from alicevision_tpu.hdr import grossberg_apply, grossberg_calibrate
+
+    rng = np.random.default_rng(0)
+    gamma = 2.2
+    radiance = rng.uniform(0.02, 0.9, size=600)
+    exposures = np.array([0.5, 1.0, 2.0])
+    # Camera: v = clip(E * t) ** (1/gamma)
+    samples = np.stack([
+        np.clip(radiance * t, 0, 1) ** (1.0 / gamma) for t in exposures
+    ])
+    c = grossberg_calibrate(jnp.asarray(samples, jnp.float32), jnp.asarray(exposures, jnp.float32), n_coeffs=8)
+    v = np.linspace(0.05, 0.95, 50).astype(np.float32)
+    h = np.asarray(grossberg_apply(c, jnp.asarray(v)))
+    # The recovered inverse response must match v**gamma up to global scale.
+    gt = v ** gamma
+    s = np.sum(h * gt) / np.sum(h * h)
+    rel = np.abs(s * h - gt) / np.maximum(gt, 1e-3)
+    assert np.median(rel) < 0.08, np.median(rel)
+
+
+def test_cli_hdr_sampling_calibration_merge(tmp_path):
+    """Full LdrToHdr trio through the CLI (ref: main_LdrToHdrSampling.cpp,
+    main_LdrToHdrCalibration.cpp, main_LdrToHdrMerge.cpp stage contract)."""
+    import os
+
+    import numpy as np
+
+    from alicevision_tpu.pipeline.cli import main
+    from alicevision_tpu.image.io import write_image
+
+    rng = np.random.default_rng(3)
+    H = W = 32
+    radiance = rng.uniform(0.05, 0.8, size=(H, W)).astype(np.float32)
+    folder = tmp_path / "brackets"
+    folder.mkdir()
+    exps = [1.0, 4.0, 16.0]
+    gamma = 2.0
+    for i, t in enumerate(exps):
+        v = np.clip(radiance * t / 16.0, 0, 1) ** (1 / gamma)
+        np.save(folder / f"img_{i}.npy", np.repeat(v[..., None], 3, -1))
+
+    samples_f = str(tmp_path / "samples.npz")
+    assert main(["ldrToHdrSampling", "--inputFolder", str(folder), "--output", samples_f]) == 0
+    with np.load(samples_f) as z:
+        assert z["samples"].shape[0] == 3
+
+    for method in ["laguerre", "grossberg", "debevec"]:
+        resp_f = str(tmp_path / f"resp_{method}.npz")
+        assert main([
+            "ldrToHdrCalibration", "--input", samples_f, "--output", resp_f,
+            "--calibrationMethod", method,
+        ]) == 0
+        out_f = str(tmp_path / f"hdr_{method}.npy")
+        assert main([
+            "ldrToHdrMerge", "--inputFolder", str(folder), "--output", out_f,
+            "--response", resp_f,
+        ]) == 0
+        merged = np.load(out_f)
+        assert merged.shape[:2] == (H, W)
+        assert np.isfinite(merged).all()
+        # Merged radiance must correlate strongly with the ground truth.
+        m = merged.mean(-1).ravel()
+        r = radiance.ravel()
+        cc = np.corrcoef(m, r)[0, 1]
+        assert cc > 0.95, (method, cc)
