@@ -73,20 +73,36 @@ def graph_cut_surface(
         ok = col >= 0
         np.add.at(empty_votes, col[ok], empty_gain / n_ray_samples)
 
+    # Sensor placement decides the prior on the space beyond the hull:
+    # sensors OUTSIDE the hull (photogrammetry) see through it — beyond-hull
+    # is empty; sensors INSIDE (panoramic lidar scanning a room) mean the
+    # hull IS the surface and beyond it is matter.
+    inside_out = (tri.find_simplex(np.unique(a, axis=0)) >= 0).mean() > 0.5
+
     # cell just behind each point
     behind_pts = b + (b - a) * behind_frac
     behind = tri.find_simplex(behind_pts)
     full_votes = np.zeros(n_cells, np.float64)
     ok = behind >= 0
     np.add.at(full_votes, behind[ok], 1.0)
+    # Inside-out scans put surface points ON the hull, so the behind-sample
+    # exits it; vote the point's own cell FULL, strongly enough to beat the
+    # near-point empty samples (the reference's t-edge forcing plays the
+    # same role, GraphFiller.cpp:256).
+    miss = ~ok
+    if inside_out and miss.any():
+        own = tri.find_simplex(b[miss] - (b[miss] - a[miss]) * behind_frac)
+        own_ok = own >= 0
+        np.add.at(full_votes, own[own_ok], 1.0 + empty_gain)
 
     # --- build flow graph + cut (native BK-style solver, float caps) ------
     from .. import native
 
     nb = tri.neighbors  # (n_cells, 4), -1 = hull boundary
     terminal = empty_votes - full_votes  # >0 source(empty), <0 sink(full)
-    # hull boundary facets face infinite empty space
-    hull_bonus = 0.25 * (nb < 0).sum(axis=1)
+    # Hull-boundary facets face infinite space: bias per the sensor prior.
+    hull_sign = -1.0 if inside_out else 1.0
+    hull_bonus = hull_sign * 0.25 * (nb < 0).sum(axis=1)
     terminal = terminal + hull_bonus
 
     eu, ev = [], []

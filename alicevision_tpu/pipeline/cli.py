@@ -344,6 +344,32 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--response", default=None, help="response .npz from ldrToHdrCalibration")
     _add_common(p)
 
+    p = sub.add_parser("lidarMerging")
+    p.add_argument("--input", required=True, help="input-set JSON")
+    p.add_argument("--output", required=True, help="merged .ply")
+    p.add_argument("--outputOrigins", default=None, help="per-point origins .npy")
+    _add_common(p)
+
+    p = sub.add_parser("lidarDecimating")
+    p.add_argument("--input", required=True, help="merged .ply")
+    p.add_argument("--origins", default=None, help="origins .npy from lidarMerging")
+    p.add_argument("--output", required=True, help="decimated .ply")
+    p.add_argument("--outputOrigins", default=None)
+    p.add_argument("--cellSize", type=float, required=True)
+    _add_common(p)
+
+    p = sub.add_parser("lidarMeshing")
+    p.add_argument("--input", required=True, help=".ply cloud or input-set JSON")
+    p.add_argument("--origins", default=None, help="origins .npy (for .ply input)")
+    p.add_argument("--output", required=True, help="mesh .obj")
+    p.add_argument("--maxPoints", type=int, default=50000)
+    _add_common(p)
+
+    p = sub.add_parser("importE57")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    _add_common(p)
+
     p = sub.add_parser("voctreeCreation")
     p.add_argument("--features", required=True, help="feature folder")
     p.add_argument("--input", required=True, help=".sfm with the views")
@@ -375,6 +401,19 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    """CLI entry. Like the reference's aliceVision_main wrapper
+    (ref: system/main.hpp:33-48), every exception is caught, logged as a
+    fatal error, and turned into a non-zero exit code."""
+    try:
+        return _dispatch(argv)
+    except SystemExit:
+        raise
+    except Exception as exc:  # noqa: BLE001 — the top-level catch IS the contract
+        print(f"[av] fatal: {exc}", file=sys.stderr)
+        return 1
+
+
+def _dispatch(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from . import stages
 
@@ -900,6 +939,48 @@ def main(argv=None) -> int:
                 ".", f"_{gi}.", 1
             )
             write_image(out, np.asarray(merged))
+    elif args.cmd == "lidarMerging":
+        import numpy as np
+
+        from ..mvs import lidar as ld
+
+        scans = ld.load_input_set(args.input)
+        pts, org = ld.merge_scans(scans)
+        os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+        ld.save_cloud_ply(args.output, pts)
+        if args.outputOrigins:
+            np.save(args.outputOrigins, org)
+        print(json.dumps({"points": int(len(pts)), "scans": len(scans)}))
+    elif args.cmd == "lidarDecimating":
+        import numpy as np
+
+        from ..mvs import lidar as ld
+
+        pts = ld.load_cloud_ply(args.input)
+        org = np.load(args.origins) if args.origins else np.zeros_like(pts)
+        pts, org = ld.decimate_cloud(pts, org, args.cellSize)
+        ld.save_cloud_ply(args.output, pts)
+        if args.outputOrigins:
+            np.save(args.outputOrigins, org)
+        print(json.dumps({"points": int(len(pts))}))
+    elif args.cmd == "lidarMeshing":
+        import numpy as np
+
+        from ..mesh import save_obj
+        from ..mvs import lidar as ld
+
+        if args.input.endswith(".json"):
+            pts, org = ld.merge_scans(ld.load_input_set(args.input))
+        else:
+            pts = ld.load_cloud_ply(args.input)
+            org = np.load(args.origins) if args.origins else np.zeros_like(pts)
+        v, f = ld.mesh_lidar(pts, org, max_points=args.maxPoints)
+        save_obj(args.output, v, f)
+        print(json.dumps({"vertices": int(len(v)), "faces": int(len(f))}))
+    elif args.cmd == "importE57":
+        from ..mvs import lidar as ld
+
+        ld.read_e57(args.input)
     elif args.cmd == "voctreeCreation":
         import numpy as np
         import jax
