@@ -1,3 +1,4 @@
-from . import feeds, filtering, io, processing
+from . import cache, feeds, filtering, io, processing
+from .cache import ImageCache
 
-__all__ = ["feeds", "filtering", "io", "processing"]
+__all__ = ["ImageCache", "cache", "feeds", "filtering", "io", "processing"]
