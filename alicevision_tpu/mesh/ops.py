@@ -166,6 +166,33 @@ def largest_component(
     return compact(vertices, faces[keep_face])
 
 
+def merge_meshes(
+    v1: np.ndarray,
+    f1: np.ndarray,
+    v2: np.ndarray,
+    f2: np.ndarray,
+    weld_eps: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate two meshes, optionally welding coincident vertices
+    (quantized to weld_eps). Counterpart of the reference's mergeMeshes
+    tool (ref: src/software/pipeline/main_mergeMeshes.cpp; the reference's
+    geogram boolean union is approximated by a weld — both produce one
+    combined surface, we do not resolve self-intersections)."""
+    v = np.concatenate([v1, v2], axis=0)
+    f = np.concatenate([f1, f2 + len(v1)], axis=0).astype(np.int64)
+    if weld_eps > 0:
+        keys = np.round(v / weld_eps).astype(np.int64)
+        _, first, inv = np.unique(
+            keys, axis=0, return_index=True, return_inverse=True
+        )
+        v = v[first]
+        f = inv[f]
+        # drop degenerate faces produced by the weld
+        good = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
+        f = f[good]
+    return v, f.astype(np.int32)
+
+
 def compact(vertices: np.ndarray, faces: np.ndarray):
     """Drop unreferenced vertices and reindex faces."""
     used = np.unique(faces)

@@ -397,6 +397,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cols", type=int, required=True)
     _add_common(p)
 
+    # the long tail of reference tools lives in the cli_ext registry
+    from . import cli_ext
+
+    cli_ext.register(sub, _add_common)
+
     return ap
 
 
@@ -418,6 +423,11 @@ def _dispatch(argv=None) -> int:
     from . import stages
 
     t0 = time.time()
+    handler = getattr(args, "_handler", None)
+    if handler is not None:
+        handler(args)
+        print(f"[av] {args.cmd} done in {time.time() - t0:.1f}s", file=sys.stderr)
+        return 0
     if args.cmd == "cameraInit":
         stages.camera_init(args.imageFolder, args.output, args.sensorDatabase,
                            args.defaultFocalPx)

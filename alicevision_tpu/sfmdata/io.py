@@ -99,7 +99,9 @@ def save_sfm(scene: SfMData, path: str, save_structure: bool = True) -> None:
         w, h = int(scene.sizes[i, 0]), int(scene.sizes[i, 1])
         sw, sh = float(scene.sensor_size[i, 0]), float(scene.sensor_size[i, 1])
         fx, fy = float(scene.scale[i, 0]), float(scene.scale[i, 1])
-        par = fx / fy if fy != 0 else 1.0
+        # pixelRatio holds the pixel ASPECT ratio fy/fx
+        # (ref: camera/IntrinsicScaleOffset.cpp:204-213 getPixelAspectRatio)
+        par = fy / fx if fx != 0 else 1.0
         # focal mm ignoring the x-stretch (IntrinsicScaleOffset.cpp non-compat)
         focal_mm = fy * sw / w
         dk = int(scene.disto_kind[i])

@@ -95,3 +95,43 @@ def normalized_obs(scene: SyntheticScene) -> jnp.ndarray:
     return cam.remove_distortion(
         scene.intrinsics.disto_kind, scene.intrinsics.disto, p
     )
+
+
+def ring_scene_sfmdata(
+    n_views: int = 10,
+    n_points: int = 100,
+    image_size=(1920, 1080),
+    focal_px: float = 1200.0,
+    noise_px: float = 0.0,
+    seed: int = 0,
+):
+    """Synthetic ring scene as a full SfMData — the generateSampleScene
+    fixture (ref: sfmDataIO/sceneSample.hpp:18 generateSampleScene)."""
+    import numpy as np
+
+    from ..sfmdata.scene import SfMData
+
+    syn = ring_scene(
+        n_views=n_views, n_points=n_points, image_size=image_size,
+        focal_px=focal_px, noise_px=noise_px, seed=seed,
+    )
+    sc = SfMData.empty()
+    w, h = image_size
+    ii = sc.add_intrinsic(1000, w, h, focal_px)
+    for v in range(n_views):
+        vi = sc.add_view(100 + v, ii, w, h, path=f"view_{v:04d}.jpg", frame_id=v)
+        sc.set_pose(
+            vi,
+            np.asarray(geo.quat_to_mat(syn.poses.q[v]), np.float64),
+            np.asarray(syn.poses.c[v], np.float64),
+        )
+    vis = np.asarray(syn.visible)
+    obs = np.asarray(syn.observations)
+    vv, ll = np.nonzero(vis)
+    sc.set_structure(
+        np.asarray(syn.points, np.float64),
+        ll.astype(np.int32),
+        vv.astype(np.int32),
+        obs[vv, ll],
+    )
+    return sc
