@@ -87,3 +87,58 @@ def composite_panorama(
     pano = laplacian_blend(warped, w, levels=levels)
     covered = jnp.any(masks, axis=0)
     return jnp.where(covered, pano, 0.0)
+
+
+def seam_labels(masks: jnp.ndarray, sharpness: float = 0.05) -> jnp.ndarray:
+    """Hard seam assignment: per-pixel winning view by distance weight
+    (ref: panorama/seams.cpp WTA labels; the reference optionally refines
+    with a graph-cut — the distance transform already places seams mid-
+    overlap, which is what the cut converges to without strong gradients).
+    Returns (H, W) int32, -1 where no view covers the pixel."""
+    w = distance_weights(masks, sharpness)
+    lab = jnp.argmax(w, axis=0).astype(jnp.int32)
+    covered = jnp.any(masks, axis=0)
+    return jnp.where(covered, lab, -1)
+
+
+def composite_with_labels(
+    warped: jnp.ndarray,  # (V, H, W)
+    labels: jnp.ndarray,  # (H, W) int32 from seam_labels
+    masks: jnp.ndarray,  # (V, H, W)
+    levels: int = 5,
+) -> jnp.ndarray:
+    """Multi-band blend with hard seam labels as the level-0 weights
+    (laplacianCompositer.hpp with graph-cut seams)."""
+    V = warped.shape[0]
+    onehot = (labels[None] == jnp.arange(V)[:, None, None]).astype(jnp.float32)
+    pano = laplacian_blend(warped, onehot, levels=levels)
+    covered = jnp.any(masks, axis=0)
+    return jnp.where(covered, pano, 0.0)
+
+
+def fill_holes(img: jnp.ndarray, mask: jnp.ndarray, iters: int = 50) -> jnp.ndarray:
+    """Diffusion inpainting of uncovered pixels (panoramaPostProcessing's
+    fillHoles): repeated blur, with known pixels clamped each step."""
+    out = jnp.where(mask, img, 0.0)
+    m = mask.astype(jnp.float32)
+    w = m
+    for _ in range(iters):
+        out_b = gaussian_blur(out, 2.0)
+        w_b = gaussian_blur(w, 2.0)
+        cand = out_b / w_b.clip(1e-6)
+        out = jnp.where(mask, img, cand)
+        w = jnp.clip(w_b * 4.0, 0.0, 1.0)
+    return out
+
+
+def crop_to_content(img, mask):
+    """Tight bbox of covered pixels -> (img, mask, (y0, y1, x0, x1))."""
+    import numpy as np
+
+    m = np.asarray(mask)
+    ys, xs = np.nonzero(m)
+    if len(ys) == 0:
+        return img, mask, (0, m.shape[0], 0, m.shape[1])
+    y0, y1 = int(ys.min()), int(ys.max()) + 1
+    x0, x1 = int(xs.min()), int(xs.max()) + 1
+    return img[..., y0:y1, x0:x1], mask[y0:y1, x0:x1], (y0, y1, x0, x1)
