@@ -6,6 +6,11 @@ from .plane_sweep import (
     sgm_depth_map,
     similarity_volume,
 )
+from .rectified import (
+    rectification_ok,
+    similarity_volume_auto,
+    similarity_volume_rectified,
+)
 from .refine import color_guided_optimize, refine_depth_map
 from .fusion import (
     consistency_filter,
@@ -23,8 +28,11 @@ __all__ = [
     "fuse_point_cloud",
     "inverse_depth_planes",
     "make_sharded_sgm",
+    "rectification_ok",
     "refine_depth_map",
     "retrieve_best_depth",
+    "similarity_volume_auto",
+    "similarity_volume_rectified",
     "sgm_aggregate",
     "sgm_depth_map",
     "sgm_depth_map_tiled",

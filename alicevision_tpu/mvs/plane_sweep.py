@@ -44,6 +44,14 @@ class SgmParams(NamedTuple):
     p2_alpha: float = 10.0  # gradient adaptivity of P2 (deviceSimilarityVolumeKernels.cuh:597-656)
     cost_clip: float = 1.0  # similarity in [-1, 1] -> cost in [0, cost_clip*255]
     depth_chunk: int = 8  # depth planes evaluated in parallel (memory knob)
+    # similarity-volume builder: "auto" gates per (ref, tcam) pair on
+    # rectifiability (host-side) and uses the gather-free rectified sweep
+    # where valid; "gather" / "rectified" force one path.
+    method: str = "auto"
+    # the rectified path is FFT/matmul bound, not gather bound — it wants
+    # much larger depth chunks (measured on v5e: chunk 8 -> 4.5 s,
+    # chunk 64 -> 0.26 s at 512x384xD128xT4).
+    rect_depth_chunk: int = 64
 
 
 def inverse_depth_planes(d_min: float, d_max: float, n: int) -> jnp.ndarray:
@@ -359,9 +367,16 @@ def sgm_depth_map(
     d_max: float,
     params: SgmParams = SgmParams(),
 ):
-    """Full SGM pipeline for one reference view (Sgm::sgmRc equivalent)."""
+    """Full SGM pipeline for one reference view (Sgm::sgmRc equivalent).
+
+    The similarity volume routes through the gather-free rectified sweep
+    per tcam pair when the geometry allows (params.method, default
+    "auto") — 14x faster than the plane-homography gather sweep on v5e.
+    """
+    from .rectified import similarity_volume_auto
+
     depths = inverse_depth_planes(d_min, d_max, params.n_depths)
-    cost = similarity_volume(
+    cost = similarity_volume_auto(
         ref_img, t_imgs, K_ref, K_t, R_rel, t_rel, depths, params
     )
     agg = sgm_aggregate(cost, ref_img, params)

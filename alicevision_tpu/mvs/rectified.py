@@ -203,7 +203,7 @@ def pair_similarity_rectified(
         return zncc(refb, warps, valids, params.sigma_window)
 
     D = depths.shape[0]
-    ch = max(1, min(params.depth_chunk, D))
+    ch = max(1, min(getattr(params, "rect_depth_chunk", 64), D))
     pad = (-D) % ch
     idx = jnp.arange(D + pad).clip(0, D - 1).reshape(-1, ch)
     sims_rect = jax.lax.map(per_chunk, idx).reshape(-1, H, W)[:D]
@@ -238,6 +238,91 @@ def similarity_volume_rectified(
     oks = jnp.stack(oks)  # (T, D)
     cnt = jnp.sum(oks, axis=0)  # (D,)
     sim = jnp.sum(sims * oks[:, :, None, None], axis=0) / jnp.maximum(
+        cnt[:, None, None], 1
+    )
+    return (1.0 - sim) * 0.5 * 255.0
+
+
+def similarity_volume_auto(
+    ref_img: jnp.ndarray,
+    t_imgs: jnp.ndarray,  # (T, Ht, Wt)
+    K_ref: jnp.ndarray,
+    K_t: jnp.ndarray,  # (T, 3, 3)
+    R_rel: jnp.ndarray,  # (T, 3, 3)
+    t_rel: jnp.ndarray,  # (T, 3)
+    depths: jnp.ndarray,
+    params: SgmParams = SgmParams(),
+) -> jnp.ndarray:
+    """Cost volume (D, H, W) with per-pair path selection.
+
+    `params.method` "rectified"/"gather" force a path; "auto" routes each
+    (ref, tcam) pair through the gather-free rectified sweep when its
+    geometry is non-degenerate (`rectification_ok`, host-side — requires
+    concrete poses) and through the plane-homography gather sweep
+    otherwise, then fuses the per-pair ZNCC volumes exactly like the
+    reference fuses per-tcam similarities
+    (ref: src/aliceVision/depthMap/cuda/planeSweeping/
+    deviceSimilarityVolumeKernels.cuh:109-235 accumulates per-tcam NCC).
+    """
+    from .plane_sweep import similarity_volume
+
+    method = getattr(params, "method", "auto")
+    if method == "gather":
+        return similarity_volume(
+            ref_img, t_imgs, K_ref, K_t, R_rel, t_rel, depths, params
+        )
+    if method == "rectified":
+        return similarity_volume_rectified(
+            ref_img, t_imgs, K_ref, K_t, R_rel, t_rel, depths, params
+        )
+
+    T = t_imgs.shape[0]
+    try:
+        R_np = np.asarray(R_rel)
+        t_np = np.asarray(t_rel)
+        ok = [rectification_ok(R_np[t], t_np[t]) for t in range(T)]
+    except Exception:  # traced values (vmap/jit) — gate unavailable
+        ok = [False] * T
+    if all(ok):
+        return similarity_volume_rectified(
+            ref_img, t_imgs, K_ref, K_t, R_rel, t_rel, depths, params
+        )
+    if not any(ok):
+        return similarity_volume(
+            ref_img, t_imgs, K_ref, K_t, R_rel, t_rel, depths, params
+        )
+
+    # mixed: fuse per-pair similarity volumes from both paths
+    sims = []
+    oks = []
+    for t in range(T):
+        if ok[t]:
+            sim = pair_similarity_rectified(
+                ref_img, t_imgs[t], K_ref, K_t[t], R_rel[t], t_rel[t], depths, params
+            )
+        else:
+            cost = similarity_volume(
+                ref_img,
+                t_imgs[t : t + 1],
+                K_ref,
+                K_t[t : t + 1],
+                R_rel[t : t + 1],
+                t_rel[t : t + 1],
+                depths,
+                params,
+            )
+            sim = 1.0 - cost / 127.5
+            # similarity_volume zeros unusable slices (cost 127.5); a real
+            # ZNCC slice is never exactly 0 everywhere
+            sims.append(sim)
+            oks.append(jnp.any(jnp.abs(sim) > 1e-6, axis=(-2, -1)))
+            continue
+        sims.append(sim)
+        oks.append(jnp.any(sim > -1.0, axis=(-2, -1)))
+    sims = jnp.stack(sims)
+    okm = jnp.stack(oks)
+    cnt = jnp.sum(okm, axis=0)
+    sim = jnp.sum(sims * okm[:, :, None, None], axis=0) / jnp.maximum(
         cnt[:, None, None], 1
     )
     return (1.0 - sim) * 0.5 * 255.0

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .plane_sweep import SgmParams, retrieve_best_depth, sgm_aggregate, similarity_volume
+from .plane_sweep import SgmParams, retrieve_best_depth, sgm_aggregate
 
 
 def batched_sgm(
@@ -38,7 +38,12 @@ def batched_sgm(
     """vmap of the full SGM pipeline over a batch of reference views."""
 
     def one(ref, ts, Kr, Kt, Rr, tr, ds):
-        cost = similarity_volume(ref, ts, Kr, Kt, Rr, tr, ds, params)
+        # under vmap the host-side rectifiability gate is unavailable:
+        # "auto" falls back to the gather sweep; pass method="rectified"
+        # (after gating the batch on the host) for the fast path.
+        from .rectified import similarity_volume_auto
+
+        cost = similarity_volume_auto(ref, ts, Kr, Kt, Rr, tr, ds, params)
         agg = sgm_aggregate(cost, ref, params)
         return retrieve_best_depth(agg, ds)
 

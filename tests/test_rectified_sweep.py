@@ -141,3 +141,47 @@ def test_rectification_gate():
     assert rf.rectification_ok(R, np.array([1.0, 0, 0.1]))
     assert not rf.rectification_ok(R, np.array([0.05, 0, 1.0]))  # forward
     assert not rf.rectification_ok(R, np.zeros(3))
+
+
+def test_similarity_volume_auto_mixed():
+    """Auto dispatch fuses rectified (sideways tcam) + gather (forward
+    tcam) pair volumes and still finds the true plane."""
+    key = jax.random.PRNGKey(4)
+    d_true = 5.0
+    ref, t_img, K, R_rel, t_rel = _pair_setup(key, depth_plane=d_true)
+    # second tcam: near-forward motion -> fails the rectification gate
+    t_fwd = jnp.asarray([0.02, 0.0, -0.4], jnp.float32)
+    Hd = ps.plane_homography(K, K, jnp.eye(3), t_fwd, d_true)
+    t_img2, _ = ps.warp_homography(ref, jnp.linalg.inv(Hd), ref.shape)
+    assert rf.rectification_ok(np.asarray(R_rel), np.asarray(t_rel))
+    assert not rf.rectification_ok(np.eye(3), np.asarray(t_fwd))
+
+    depths = ps.inverse_depth_planes(3.0, 9.0, 32)
+    t_imgs = jnp.stack([t_img, t_img2])
+    Kt = jnp.stack([K, K])
+    Rr = jnp.stack([R_rel, jnp.eye(3, dtype=jnp.float32)])
+    tr = jnp.stack([t_rel, t_fwd])
+    cost = rf.similarity_volume_auto(ref, t_imgs, K, Kt, Rr, tr, depths)
+    assert cost.shape == (32,) + ref.shape
+    d_est, _ = ps.retrieve_best_depth(jnp.asarray(cost), depths)
+    d_est = np.asarray(d_est)
+    ok = d_est > 0
+    ok[:12] = ok[-12:] = False
+    ok[:, :12] = ok[:, -12:] = False
+    med = np.median(np.abs(d_est[ok] - d_true))
+    assert med < 0.35
+
+
+def test_sgm_depth_map_uses_auto(monkeypatch):
+    """sgm_depth_map routes through similarity_volume_auto (method knob)."""
+    key = jax.random.PRNGKey(5)
+    ref, t_img, K, R_rel, t_rel = _pair_setup(key, H=48, W=64, depth_plane=5.0)
+    params = ps.SgmParams(n_depths=16, method="rectified")
+    depth, sim = ps.sgm_depth_map(
+        ref, t_img[None], K, K[None], R_rel[None], t_rel[None], 3.0, 9.0, params
+    )
+    assert depth.shape == ref.shape
+    interior = np.asarray(depth)[12:-12, 12:-12]
+    sel = interior > 0
+    assert sel.mean() > 0.3
+    assert abs(np.median(interior[sel]) - 5.0) < 0.6
