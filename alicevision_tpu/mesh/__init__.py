@@ -1,5 +1,6 @@
 from .delaunay_graphcut import graph_cut_surface, tetrahedralize
 from .denoise import denoise_sd, mask_faces_by_views, resample
+from .lscm import conformal_error, lscm_unwrap
 from .ops import (
     compact,
     decimate_grid,
@@ -15,6 +16,8 @@ from .texturing import bake_vertex_colors
 __all__ = [
     "bake_vertex_colors",
     "compact",
+    "conformal_error",
+    "lscm_unwrap",
     "decimate_grid",
     "decimate_qem",
     "denoise_sd",

@@ -90,9 +90,14 @@ def build_charts(F, best_view) -> list:
 
 def unwrap_and_pack(
     V, F, charts, best_view, texel_per_unit: float = 64.0, atlas_size: int = 1024,
-    margin: int = 2,
+    margin: int = 2, method: str = "lscm",
 ):
-    """Orthographic per-chart unwrap + shelf packing.
+    """Per-chart unwrap + shelf packing.
+
+    method "lscm" (default) computes a least-squares conformal
+    parameterization per chart (the reference's Geogram LSCM path,
+    mesh/Texturing.cpp:61-74) with orthographic projection as the fallback
+    for degenerate charts; "orthographic" forces the projection unwrap.
 
     Returns (uvs (F, 3, 2) in [0,1], chart placements)."""
     uvs = np.zeros((len(F), 3, 2))
@@ -102,14 +107,26 @@ def unwrap_and_pack(
     for faces in charts:
         verts_idx = F[faces].reshape(-1)
         pts = V[verts_idx]
-        # orthographic basis from the mean normal
-        n = _face_normals(V, F[faces]).mean(0)
-        n /= max(np.linalg.norm(n), 1e-12)
-        a = np.array([1.0, 0, 0]) if abs(n[0]) < 0.9 else np.array([0, 1.0, 0])
-        e1 = np.cross(n, a)
-        e1 /= max(np.linalg.norm(e1), 1e-12)
-        e2 = np.cross(n, e1)
-        uv = np.stack([pts @ e1, pts @ e2], -1) * texel_per_unit
+        uv = None
+        if method == "lscm":
+            from .lscm import lscm_unwrap
+
+            # chart-local vertex table (LSCM needs shared vertices)
+            uniq, inv = np.unique(verts_idx, return_inverse=True)
+            try:
+                uv_v = lscm_unwrap(V[uniq], inv.reshape(-1, 3))
+                uv = uv_v[inv] * texel_per_unit
+            except ValueError:
+                uv = None
+        if uv is None:
+            # orthographic basis from the mean normal
+            n = _face_normals(V, F[faces]).mean(0)
+            n /= max(np.linalg.norm(n), 1e-12)
+            a = np.array([1.0, 0, 0]) if abs(n[0]) < 0.9 else np.array([0, 1.0, 0])
+            e1 = np.cross(n, a)
+            e1 /= max(np.linalg.norm(e1), 1e-12)
+            e2 = np.cross(n, e1)
+            uv = np.stack([pts @ e1, pts @ e2], -1) * texel_per_unit
         uv -= uv.min(0)
         chart_uv_local.append(uv.reshape(len(faces), 3, 2))
         boxes.append(uv.max(0) + 2 * margin)
