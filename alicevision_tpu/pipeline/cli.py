@@ -53,6 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--maxKeypoints", type=int, default=4096)
     p.add_argument("--dsp", action="store_true")
     p.add_argument("--downscaleTo", type=int, default=1024)
+    p.add_argument("--describerTypes", default="sift",
+                   help="comma list: sift,tag16h5,cctag3")
     _add_common(p)
 
     p = sub.add_parser("imageMatching")
@@ -435,6 +437,7 @@ def _dispatch(argv=None) -> int:
         stages.feature_extraction(
             args.input, args.output, args.maxKeypoints, args.dsp,
             args.rangeStart, args.rangeSize, args.downscaleTo,
+            describer_types=args.describerTypes,
         )
     elif args.cmd == "imageMatching":
         stages.image_matching(

@@ -102,9 +102,13 @@ def feature_extraction(
     range_start: int = 0,
     range_size: int = -1,
     downscale_to: int = 1024,
+    describer_types: str = "sift",
 ) -> None:
-    """SIFT features per view -> <viewId>.feat.npz.
+    """Features per view -> <viewId>.feat.npz (plus <viewId>.<marker>.npz
+    for marker describers).
 
+    describer_types is a comma list from {sift, tag16h5, cctag3} — the
+    reference's describerTypes flag (imageDescriberCommon.hpp:19-50);
     range_start/range_size mirror the reference's chunked farm runs
     (main_featureExtraction.cpp --rangeStart/--rangeSize)."""
     import jax
@@ -115,6 +119,7 @@ def feature_extraction(
     sc = sfmdata.load(input_sfm)
     _ensure_dir(output_folder)
     end = sc.n_views if range_size < 0 else min(sc.n_views, range_start + range_size)
+    types = [t.strip() for t in describer_types.split(",") if t.strip()]
     cfg = sift.SiftConfig(max_keypoints=max_keypoints, dsp=dsp, n_octaves=4)
     extract = jax.jit(lambda im: sift.extract(im, cfg))
 
@@ -131,16 +136,38 @@ def feature_extraction(
             img = cv2.resize(
                 img, (int(img.shape[1] * scale), int(img.shape[0] * scale))
             )
-        feats = extract(jnp.asarray(img, jnp.float32))
-        np.savez_compressed(
-            out,
-            xy=np.asarray(feats.xy) / scale,
-            scale=np.asarray(feats.scale) / scale,
-            orientation=np.asarray(feats.orientation),
-            response=np.asarray(feats.response),
-            desc=np.asarray(feats.desc, np.float32),
-            valid=np.asarray(feats.valid),
-        )
+        if "sift" in types or "dspsift" in types:
+            feats = extract(jnp.asarray(img, jnp.float32))
+            np.savez_compressed(
+                out,
+                xy=np.asarray(feats.xy) / scale,
+                scale=np.asarray(feats.scale) / scale,
+                orientation=np.asarray(feats.orientation),
+                response=np.asarray(feats.response),
+                desc=np.asarray(feats.desc, np.float32),
+                valid=np.asarray(feats.valid),
+            )
+        for mtype in ("tag16h5", "cctag3"):
+            if mtype not in types:
+                continue
+            from ..features import markers as mk
+
+            dets = (
+                mk.detect_apriltags(img)
+                if mtype == "tag16h5"
+                else mk.detect_cctags(img)
+            )
+            xy, mscale, ori, desc = mk.markers_to_features(dets)
+            np.savez_compressed(
+                os.path.join(
+                    output_folder, f"{int(sc.view_ids[v])}.{mtype}.npz"
+                ),
+                xy=xy / scale,
+                scale=mscale / scale,
+                orientation=ori,
+                desc=desc,
+                ids=np.array([d.marker_id for d in dets], np.int32),
+            )
 
 
 def load_features(features_folder: str, view_id: int) -> dict:
