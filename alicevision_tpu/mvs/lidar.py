@@ -8,10 +8,10 @@ position, which plays the role camera centers play for photogrammetric
 fusion: every point carries a free-space ray to its sensor, and meshing is
 the same Delaunay graph-cut as the MVS path (mesh/delaunay_graphcut.py).
 
-E57 import (ref: dataio/E57Reader.hpp) requires the libE57 format library,
-which this image does not ship; `read_e57` raises a clear error pointing at
-the PLY path (the reference gates the same way behind
-ALICEVISION_HAVE_LIBE57FORMAT).
+E57 import (ref: dataio/E57Reader.hpp) goes through the native ASTM E2807
+reader in `image/e57.py` (no external libE57 needed): each Data3D scan's
+points are returned in world coordinates (scan pose applied) with the
+scanner position as the ray origin.
 """
 
 from __future__ import annotations
@@ -23,12 +23,16 @@ import numpy as np
 
 
 def read_e57(path: str):
-    raise RuntimeError(
-        "E57 import needs the libE57 format library, which is not available "
-        "in this build. Convert the scan to PLY (most vendors export PLY "
-        "directly) and use an input-set JSON: "
-        '[{"ply": "scan.ply", "origin": [x, y, z]}]'
-    )
+    """E57 scans -> [(points (N, 3) world, origin (3,)), ...] — the same
+    shape `load_input_set` produces for PLY entries."""
+    from ..image.e57 import read_e57 as _read
+
+    data = _read(path)
+    out = []
+    for scan in data["scans"]:
+        origin = scan["pose"][1] if scan["pose"] is not None else np.zeros(3)
+        out.append((scan["points"], origin))
+    return out
 
 
 def load_cloud_ply(path: str) -> np.ndarray:
@@ -69,7 +73,11 @@ def load_input_set(path: str):
         if not os.path.isabs(ply):
             ply = os.path.join(base, ply)
         if ply.lower().endswith(".e57"):
-            read_e57(ply)
+            for pts, origin in read_e57(ply):
+                out.append(
+                    (pts, np.asarray(e.get("origin", origin), float))
+                )
+            continue
         out.append((load_cloud_ply(ply), np.asarray(e.get("origin", [0, 0, 0]), float)))
     return out
 

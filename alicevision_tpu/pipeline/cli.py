@@ -993,7 +993,19 @@ def _dispatch(argv=None) -> int:
     elif args.cmd == "importE57":
         from ..mvs import lidar as ld
 
-        ld.read_e57(args.input)
+        scans = ld.read_e57(args.input)
+        base, _ = os.path.splitext(args.output)
+        entries = []
+        for i, (pts, origin) in enumerate(scans):
+            ply = f"{base}_scan{i}.ply"
+            ld.save_cloud_ply(ply, pts)
+            entries.append(
+                {"ply": os.path.basename(ply), "origin": list(map(float, origin))}
+            )
+        with open(args.output, "w") as f:
+            json.dump(entries, f)
+        print(json.dumps({"scans": len(entries),
+                          "points": int(sum(len(p) for p, _ in scans))}))
     elif args.cmd == "voctreeCreation":
         import numpy as np
         import jax

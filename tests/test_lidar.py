@@ -64,7 +64,20 @@ def test_lidar_cli_pipeline(tmp_path):
     assert np.median(np.abs(r - 2.0)) < 0.35, np.median(np.abs(r - 2.0))
 
 
-def test_import_e57_gated(tmp_path):
-    with pytest.raises(RuntimeError, match="libE57"):
-        ld.read_e57("scan.e57")
-    assert main(["importE57", "--input", "x.e57", "--output", "y.ply"]) != 0
+def test_import_e57_cli(tmp_path):
+    """importE57 converts scans to an input-set JSON + per-scan PLYs
+    (native E2807 reader — no libE57 needed)."""
+    from alicevision_tpu.image import e57
+
+    pts = np.random.default_rng(5).normal(0, 1, (200, 3))
+    src = str(tmp_path / "scan.e57")
+    e57.write_e57(src, pts, pose=((1.0, 0, 0, 0), np.array([4.0, 0.0, 0.0])))
+    out = str(tmp_path / "set.json")
+    assert main(["importE57", "--input", src, "--output", out]) in (0, None)
+    scans = ld.load_input_set(out)
+    assert len(scans) == 1
+    np.testing.assert_allclose(scans[0][0], pts + [4, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(scans[0][1], [4, 0, 0])
+    # a missing file still fails cleanly
+    assert main(["importE57", "--input", str(tmp_path / "nope.e57"),
+                 "--output", out]) != 0
