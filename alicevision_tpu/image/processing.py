@@ -119,3 +119,66 @@ def split_equirect(
         imgs.append(img)
         Rs.append(R)
     return jnp.stack(imgs), K, np.stack(Rs)
+
+
+# ---------------------------------------------------------------------------
+# Lens correction profiles (LCP) and DNG camera profiles (DCP) applied to
+# images — the reference parses these in lensCorrectionProfile/ and image/dcp
+# and applies them in main_imageProcessing.cpp (lensCorrection options).
+# ---------------------------------------------------------------------------
+
+
+def apply_lcp_geometry(img: jnp.ndarray, alt) -> jnp.ndarray:
+    """Undistort an image with an LCP rectilinear model: each undistorted
+    output pixel samples the source at the FORWARD-distorted position
+    r_d = r_u (1 + k1 r^2 + k2 r^4 + k3 r^6) (inverse warp, no iteration).
+    Conventions match the reference's undistortRectilinearGeometryLCP
+    (main_imageProcessing.cpp:460-497): principal point = center fractions
+    of W/H, focal = fraction of max(W, H). Works on (H, W) or (H, W, C)."""
+    chans = img.ndim == 3
+    im = jnp.moveaxis(img, -1, 0) if chans else img[None]
+    H, W = im.shape[-2:]
+    dmax = float(max(H, W))
+    pp_x, pp_y = alt.cx * W, alt.cy * H
+    sc_x = max(alt.focal_x, 1e-9) * dmax
+    sc_y = max(alt.focal_y, 1e-9) * dmax
+    gy, gx = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    u = (gx - pp_x) / sc_x
+    v = (gy - pp_y) / sc_y
+    r2 = u * u + v * v
+    k1, k2, k3 = alt.radial
+    scale = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xy = jnp.stack([u * scale * sc_x + pp_x, v * scale * sc_y + pp_y], -1)
+    out = jnp.stack([bilinear_sample(c, xy) for c in im])
+    return jnp.moveaxis(out, 0, -1) if chans else out[0]
+
+
+def apply_lcp_vignette(img: jnp.ndarray, alt) -> jnp.ndarray:
+    """Devignette with the Adobe model g(r) = 1 + v1 r^2 + v2 r^4 + v3 r^6
+    inverted as a 4th-order power series and MULTIPLIED in — the exact
+    scheme of the reference's undistortVignetting
+    (main_imageProcessing.cpp:427-458), including its width/height
+    normalization of r."""
+    vg = getattr(alt, "vignette", ())
+    if not vg:
+        return img
+    v1, v2, v3 = (list(vg) + [0.0, 0.0])[:3]
+    p1 = -v1
+    p2 = v1 * v1 - v2
+    p3 = -(v1**3 - 2 * v1 * v2 + v3)
+    p4 = v1**4 + v2 * v2 + 2 * v1 * v3 - 3 * v1 * v1 * v2
+    H, W = img.shape[:2]
+    gy, gx = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    u = (gx / W - alt.cx) / max(alt.focal_x, 1e-9)
+    v = (gy / H - alt.cy) / max(alt.focal_y, 1e-9)
+    r2 = u * u + v * v
+    gain = 1.0 + r2 * (p1 + r2 * (p2 + r2 * (p3 + r2 * p4)))
+    return img * (gain[..., None] if img.ndim == 3 else gain)

@@ -307,6 +307,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sharpen", type=float, default=0.0)
     p.add_argument("--contrast", type=float, default=1.0)
     p.add_argument("--denoise", action="store_true")
+    p.add_argument("--lcp", default=None, help="Adobe LCP profile (.lcp)")
+    p.add_argument("--focalMm", type=float, default=0.0,
+                   help="focal length for LCP alternate selection")
+    p.add_argument("--lensCorrection", default="geometry,vignetting",
+                   help="comma list applied when --lcp is set")
+    p.add_argument("--dcp", default=None, help="DNG camera profile (.dcp XML)")
+    p.add_argument("--cct", type=float, default=5000.0,
+                   help="correlated color temperature for DCP interpolation")
     _add_common(p)
 
     p = sub.add_parser("imageSegmentation")
@@ -806,6 +814,20 @@ def _dispatch(argv=None) -> int:
         from ..image.io import read_image, write_image
 
         img = jnp.asarray(read_image(args.input))
+        if args.dcp:
+            from ..utils.dcp import DCPProfile
+
+            prof = DCPProfile.from_xml(args.dcp)
+            img = jnp.asarray(prof.apply(np.asarray(img), cct=args.cct))
+        if args.lcp:
+            from ..utils.lcp import parse_lcp
+
+            alt = parse_lcp(args.lcp).interpolate(args.focalMm)
+            corrections = set(args.lensCorrection.split(","))
+            if "vignetting" in corrections:
+                img = ip.apply_lcp_vignette(img, alt)
+            if "geometry" in corrections:
+                img = ip.apply_lcp_geometry(img, alt)
         if args.scale != 1.0:
             img = ip.resize(img, args.scale)
         if args.denoise:

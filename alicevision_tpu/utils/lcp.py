@@ -54,6 +54,11 @@ class LcpProfile:
                     radial=tuple(
                         mix(a, b) for a, b in zip(lo.radial, hi.radial)
                     ),
+                    vignette=tuple(
+                        mix(a, b) for a, b in zip(lo.vignette, hi.vignette)
+                    )
+                    if len(lo.vignette) == len(hi.vignette)
+                    else lo.vignette or hi.vignette,
                 )
         return alts[0]
 
@@ -98,6 +103,13 @@ def parse_lcp(path: str) -> LcpProfile:
                         float(_get_attr(elem, "RadialDistortParam3") or 0.0),
                     ),
                 )
+                v1 = _get_attr(elem, "VignetteModelParam1")
+                if v1 is not None:
+                    alt.vignette = (
+                        float(v1),
+                        float(_get_attr(elem, "VignetteModelParam2") or 0.0),
+                        float(_get_attr(elem, "VignetteModelParam3") or 0.0),
+                    )
                 prof.alternates.append(alt)
         for child in elem:
             walk(child)

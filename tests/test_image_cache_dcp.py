@@ -66,3 +66,22 @@ def test_dcp_parse_and_interpolate():
     img = np.full((4, 4, 3), 0.5, np.float32)
     out = np.asarray(p.apply(img))
     assert out.shape == (4, 4, 3) and np.isfinite(out).all()
+
+
+def test_image_processing_cli_dcp(tmp_path):
+    """imageProcessing --dcp applies the camera->sRGB color transform."""
+    from alicevision_tpu.pipeline.cli import main
+
+    dcp = str(tmp_path / "cam.dcpxml")
+    with open(dcp, "w") as f:
+        f.write(_DCP_XML)
+    img = np.random.default_rng(0).uniform(0.1, 0.9, (32, 40, 3)).astype(np.float32)
+    src = str(tmp_path / "in.npy")
+    np.save(src, img)
+    dst = str(tmp_path / "out.npy")
+    rc = main(["imageProcessing", "--input", src, "--output", dst,
+               "--dcp", dcp, "--cct", "5000"])
+    assert rc in (0, None)
+    out = np.load(dst)
+    assert out.shape == img.shape and np.isfinite(out).all()
+    assert not np.allclose(out, img)  # the transform did something

@@ -77,3 +77,68 @@ def test_image_feed(tmp_path):
     # provider dispatch: single image
     single = list(feed_provider(str(tmp_path / "im1.png")))
     assert len(single) == 1
+
+
+def test_lcp_image_application(tmp_path):
+    """LCP geometry + vignette correction applied to images
+    (the reference's main_imageProcessing.cpp lensCorrection path)."""
+    import jax.numpy as jnp
+    from alicevision_tpu.image.processing import (
+        apply_lcp_geometry, apply_lcp_vignette,
+    )
+    from alicevision_tpu.utils.lcp import LcpAlternate
+
+    H, W = 120, 160
+    rng = np.random.default_rng(0)
+    alt = LcpAlternate(
+        focal_mm=24.0, focal_x=0.7, focal_y=0.7, cx=0.5, cy=0.5,
+        radial=(-0.15, 0.02, 0.0), vignette=(-0.6, 0.1, 0.0),
+    )
+
+    # --- vignette: apply the forward model, correct, compare to flat ---
+    flat = np.full((H, W), 0.8, np.float32)
+    gy, gx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    u = (gx / W - alt.cx) / alt.focal_x
+    v = (gy / H - alt.cy) / alt.focal_y
+    r2 = u * u + v * v
+    g_model = 1 + alt.vignette[0] * r2 + alt.vignette[1] * r2 * r2
+    vignetted = flat * g_model
+    restored = np.asarray(apply_lcp_vignette(jnp.asarray(vignetted), alt))
+    # series inversion: accurate to a fraction of a percent at these radii
+    assert np.abs(restored - flat).max() < 0.01
+
+    # --- geometry: out(p) must equal captured(distort(p)) with the
+    # reference's conventions (undistortRectilinearGeometryLCP) ---
+    from scipy.ndimage import map_coordinates
+
+    captured = np.asarray(
+        0.5 + 0.4 * np.sin(gx * 0.21) * np.cos(gy * 0.17), np.float32
+    )
+    dmax = float(max(H, W))
+    uu = (gx - alt.cx * W) / (alt.focal_x * dmax)
+    vv = (gy - alt.cy * H) / (alt.focal_y * dmax)
+    rr = uu * uu + vv * vv
+    s = 1 + alt.radial[0] * rr + alt.radial[1] * rr * rr
+    xd = uu * s * (alt.focal_x * dmax) + alt.cx * W
+    yd = vv * s * (alt.focal_y * dmax) + alt.cy * H
+    expect = map_coordinates(captured, [yd, xd], order=1, cval=0.0)
+    out = np.asarray(apply_lcp_geometry(jnp.asarray(captured), alt))
+    inner = (slice(10, -10), slice(10, -10))
+    assert np.abs(out[inner] - expect[inner]).max() < 1e-3
+
+
+def test_image_processing_cli_lcp(tmp_path):
+    from alicevision_tpu.pipeline.cli import main
+
+    lcp = str(tmp_path / "lens.lcp")
+    with open(lcp, "w") as f:
+        f.write(_LCP_SAMPLE)
+    img = np.random.default_rng(1).uniform(0, 1, (60, 80, 3)).astype(np.float32)
+    src = str(tmp_path / "in.npy")
+    np.save(src, img)
+    dst = str(tmp_path / "out.npy")
+    rc = main(["imageProcessing", "--input", src, "--output", dst,
+               "--lcp", lcp, "--focalMm", "24"])
+    assert rc in (0, None)
+    out = np.load(dst)
+    assert out.shape == img.shape and np.isfinite(out).all()
