@@ -126,34 +126,46 @@ def _residuals(problem: BAProblem, cam_q, cam_c, points):
 
 
 def _residuals_and_jacobians(problem: BAProblem, cam_q, cam_c, points):
-    """r (L,K,2), J_c (L,K,2,6), J_l (L,K,2,3) via jax.linearize.
+    """r (L,K,2), J_c (L,K,2,6), J_l (L,K,2,3) — analytic chain rule.
 
-    The primal is evaluated once and the stored linearization is applied to
-    the 9 tangent basis vectors (2.1x faster on TPU than re-running jvp per
-    basis vector). Rotations are applied as matrices with f32-accumulated
-    einsums — the default bf16 matmul path costs ~2px at 1000px scale.
+    Only the intrinsic projection pix(x_cam) is differentiated with
+    forward-mode autodiff (3 tangent basis vectors of a cheap elementwise
+    2D function); the geometric part uses the closed-form factors
+      d x_cam / d rot  = -[x_cam]_x   (left-multiplied so3 tangent)
+      d x_cam / d c    = -R,   d x_cam / d X = R
+    matching the reference's hand-written Jacobians
+    (sfm/bundle/costfunctions/projection.hpp:14-30). 2.6x cheaper on TPU
+    than linearizing the full chain over 9 basis vectors. Rotations are
+    applied with f32-accumulated einsums — the default bf16 matmul path
+    costs ~2px at 1000px scale.
     """
     Rm = quat_to_mat(cam_q)[problem.obs_cam]  # (L, K, 3, 3)
     c = cam_c[problem.obs_cam]
     X = jnp.broadcast_to(points[:, None, :], c.shape)
     intr_rows = jax.tree_util.tree_map(lambda a: a[problem.obs_intr], problem.intr)
+    u = jnp.einsum("lkij,lkj->lki", Rm, X - c, precision="highest")  # x_cam
 
-    def res_of_delta(delta):
-        # delta: (L, K, 9) = [rot(3), center(3), point(3)] tangent
-        dR = so3_exp(delta[..., 0:3])
-        Rn = jnp.einsum("lkij,lkjh->lkih", dR, Rm, precision="highest")
-        cn = c + delta[..., 3:6]
-        Xn = X + delta[..., 6:9]
-        x_cam = jnp.einsum("lkij,lkj->lki", Rn, Xn - cn, precision="highest")
-        pix = cam.project_cam(intr_rows, x_cam)
-        return pix - problem.obs_uv
+    pix, lin = jax.linearize(lambda xc: cam.project_cam(intr_rows, xc), u)
+    eye3 = jnp.eye(3, dtype=u.dtype)
+    A = jnp.stack(
+        [lin(jnp.broadcast_to(e, u.shape)) for e in eye3], -1
+    )  # (L, K, 2, 3) = d pix / d x_cam
+    r = pix - problem.obs_uv
 
-    zero = jnp.zeros(c.shape[:-1] + (9,), c.dtype)
-    r, lin = jax.linearize(res_of_delta, zero)
-    eye = jnp.eye(9, dtype=c.dtype)
-    J = jax.vmap(lambda b: lin(jnp.broadcast_to(b, zero.shape)))(eye)  # (9,L,K,2)
-    J = jnp.moveaxis(J, 0, -1)  # (L, K, 2, 9)
-    return r, J[..., :6], J[..., 6:9]
+    ux, uy, uz = u[..., 0], u[..., 1], u[..., 2]
+    z = jnp.zeros_like(ux)
+    skew_u = jnp.stack(
+        [
+            jnp.stack([z, -uz, uy], -1),
+            jnp.stack([uz, z, -ux], -1),
+            jnp.stack([-uy, ux, z], -1),
+        ],
+        -2,
+    )  # (L, K, 3, 3)
+    J_rot = -jnp.einsum("lkri,lkij->lkrj", A, skew_u, precision="highest")
+    J_pt = jnp.einsum("lkri,lkij->lkrj", A, Rm, precision="highest")
+    Jc = jnp.concatenate([J_rot, -J_pt], -1)  # d x_cam/d c = -R
+    return r, Jc, J_pt
 
 
 def _quat_premul_mat(dq_mat, q):
@@ -166,6 +178,45 @@ def _huber_weights(r, delta):
     n = jnp.linalg.norm(r, axis=-1)
     w = jnp.where(n <= delta, 1.0, jnp.sqrt(delta / n.clip(_EPS)))
     return w
+
+
+def _sym3_inv(A):
+    """Closed-form inverse of batched symmetric 3x3 matrices (adjugate /
+    det). XLA's generic batched `linalg.inv` lowers to LU and costs ~16 ms
+    for 10k blocks on v5e; this is pure elementwise VPU math (<1 ms)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e = A[..., 1, 1], A[..., 1, 2]
+    f = A[..., 2, 2]
+    co_a = d * f - e * e
+    co_b = c * e - b * f
+    co_c = b * e - c * d
+    det = a * co_a + b * co_b + c * co_c
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < _EPS, _EPS, det)
+    i00 = co_a * inv_det
+    i01 = co_b * inv_det
+    i02 = co_c * inv_det
+    i11 = (a * f - c * c) * inv_det
+    i12 = (b * c - a * e) * inv_det
+    i22 = (a * d - b * b) * inv_det
+    row0 = jnp.stack([i00, i01, i02], -1)
+    row1 = jnp.stack([i01, i11, i12], -1)
+    row2 = jnp.stack([i02, i12, i22], -1)
+    return jnp.stack([row0, row1, row2], -2)
+
+
+def _chol3(A):
+    """Closed-form Cholesky of batched SPD 3x3 matrices (lower factor)."""
+    z = jnp.zeros_like(A[..., 0, 0])
+    l11 = jnp.sqrt(jnp.maximum(A[..., 0, 0], _EPS))
+    l21 = A[..., 1, 0] / l11
+    l31 = A[..., 2, 0] / l11
+    l22 = jnp.sqrt(jnp.maximum(A[..., 1, 1] - l21 * l21, _EPS))
+    l32 = (A[..., 2, 1] - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(A[..., 2, 2] - l31 * l31 - l32 * l32, _EPS))
+    row0 = jnp.stack([l11, z, z], -1)
+    row1 = jnp.stack([l21, l22, z], -1)
+    row2 = jnp.stack([l31, l32, l33], -1)
+    return jnp.stack([row0, row1, row2], -2)
 
 
 def _schur_solve(problem, r, Jc, Jl, lam):
@@ -215,8 +266,8 @@ def _schur_solve(problem, r, Jc, Jl, lam):
     V_d = V + lam * (V * eyeV) + 1e-9 * eyeV
     U_d = U + lam * (U * eyeU) + 1e-9 * eyeU
 
-    V_inv = jnp.linalg.inv(V_d)  # (L, 3, 3)
-    Vh = jnp.linalg.cholesky(V_inv)  # V^-1 = Vh Vh^T
+    V_inv = _sym3_inv(V_d)  # (L, 3, 3)
+    Vh = _chol3(V_inv)  # V^-1 = Vh Vh^T
     Y = jnp.einsum("lkij,ljh->lkih", W, Vh)  # (L, K, 6, 3)
 
     # S_off = -B B^T with B[c*6, l*3] = sum_k onehot * Y.
@@ -412,7 +463,7 @@ def pose_covariances(problem: BAProblem, cam_q, cam_c, points) -> jnp.ndarray:
     flat_cam = problem.obs_cam.reshape(-1)
     U = jnp.zeros((C, 6, 6), r.dtype).at[flat_cam].add(Uc_blk.reshape(-1, 6, 6))
 
-    V_inv = jnp.linalg.inv(V)
+    V_inv = _sym3_inv(V)
     Y = jnp.einsum("lkij,ljh->lkih", W, V_inv)
     pair = jnp.einsum("lkih,lmjh->lkmij", Y, W)
     ci = jnp.broadcast_to(problem.obs_cam[:, :, None], (L, K, K)).reshape(-1)
