@@ -18,6 +18,7 @@ from .epipolar import (
     relative_pose_from_essential,
     select_cheirality,
 )
+from .five_point import essential_5pt
 from .resection import epnp, gauss_newton_pose_refine, kabsch, p3p, resection_dlt6
 
 __all__ = [
@@ -26,6 +27,7 @@ __all__ = [
     "epipolar_distance_sq",
     "epnp",
     "resection_dlt6",
+    "essential_5pt",
     "essential_8pt",
     "essential_from_F",
     "fundamental_7pt",

@@ -81,21 +81,36 @@ def robust_essential(
     valid: jnp.ndarray | None = None,
     n_hyps: int = 256,
     max_error_px: float = 4.0,
+    solver: str = "5pt",
 ) -> RobustModel:
     """AC-RANSAC essential matrix from *normalized camera* correspondences.
 
-    Residuals are epipolar distances in the normalized plane; the NFA alpha0
-    uses the image domain mapped through the mean focal, mirroring the
-    reference's essential kernel normalization.
+    solver="5pt" draws minimal 5-correspondence samples through the Nistér
+    solver (all polished candidate roots become hypotheses, invalid slots
+    scored +inf), matching the reference's default relative-pose kernel
+    (ref: multiview/relativePose/Essential5PSolver.hpp:17); "8pt" uses the
+    linear essential solver. Residuals are epipolar distances in the
+    normalized plane; the NFA alpha0 uses the image domain mapped through
+    the mean focal, mirroring the reference's essential kernel
+    normalization.
     """
     n = x1n.shape[0]
-    idx = sample_minimal(key, n, 8, n_hyps, valid)
-    E = mv.essential_8pt(x1n[idx], x2n[idx])
-    res = mv.epipolar_distance_sq(E, x1n[None], x2n[None])
+    if solver == "5pt":
+        sample_size = 5
+        idx = sample_minimal(key, n, 5, n_hyps, valid)
+        Ec, ev = mv.essential_5pt(x1n[idx], x2n[idx])  # (H, 24, 3, 3)
+        E = Ec.reshape((-1, 3, 3))
+        res = mv.epipolar_distance_sq(E, x1n[None], x2n[None])
+        res = jnp.where(ev.reshape(-1)[:, None], res, jnp.inf)
+    else:
+        sample_size = 8
+        idx = sample_minimal(key, n, 8, n_hyps, valid)
+        E = mv.essential_8pt(x1n[idx], x2n[idx])
+        res = mv.epipolar_distance_sq(E, x1n[None], x2n[None])
     w, h = im_size
     sel = acransac_select(
         res,
-        sample_size=8,
+        sample_size=sample_size,
         logalpha0=logalpha0_line(w / focal_mean, h / focal_mean),
         mult_error=0.5,
         valid=valid,
@@ -228,10 +243,13 @@ def robust_relative_pose(
     valid: jnp.ndarray | None = None,
     n_hyps: int = 256,
     max_error_px: float = 4.0,
+    solver: str = "5pt",
 ):
     """Essential + cheirality -> relative pose (the SfM initial-pair step,
     ref: sfm/pipeline/sequential makeInitialPair3D)."""
-    rm = robust_essential(key, x1n, x2n, focal_mean, im_size, valid, n_hyps, max_error_px)
+    rm = robust_essential(
+        key, x1n, x2n, focal_mean, im_size, valid, n_hyps, max_error_px, solver
+    )
     R4, t4 = mv.decompose_essential(rm.model)
     R, t, _ = mv.select_cheirality(R4, t4, x1n, x2n, mask=rm.inliers)
     return R, t, rm
