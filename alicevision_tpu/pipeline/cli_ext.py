@@ -1863,16 +1863,16 @@ def _setup_export_mmaya(p):
 
 @command("exportMeshroomMaya", _setup_export_mmaya)
 def _export_meshroom_maya(args):
-    """MeshroomMaya project folder: point cloud + per-view cameras + image
-    list (ref: src/software/export/main_exportMeshroomMaya.cpp; the
-    reference writes .abc — Alembic is unavailable here, the same data
-    lands in .ply + JSON which MeshroomMaya's importer tooling can convert)."""
+    """MeshroomMaya project folder: native-Alembic scene + point cloud +
+    per-view cameras + image list
+    (ref: src/software/export/main_exportMeshroomMaya.cpp)."""
     import shutil
 
     from .. import sfmdata
 
     sc = sfmdata.load(args.input)
     os.makedirs(args.output, exist_ok=True)
+    sfmdata.save(sc, os.path.join(args.output, "scene.abc"))
     sfmdata.save_ply(sc, os.path.join(args.output, "pointCloud.ply"))
     cams = {}
     for v in sc.valid_views():

@@ -185,6 +185,10 @@ def load_sfm(path: str) -> SfMData:
 
     scene = SfMData.empty()
 
+    # file format version gates the focal/principal-point semantics
+    # (ref: sfmDataIO/jsonIO.cpp:246-370 loadIntrinsic)
+    ver = tuple(int(x) for x in data.get("version", ["1", "2", "11"]))
+
     id2idx_intr: dict[int, int] = {}
     for it in data.get("intrinsics", []):
         iid = int(it["intrinsicId"])
@@ -198,13 +202,34 @@ def load_sfm(path: str) -> SfMData:
             dk = _NAME_TO_DISTO.get(it["distortionType"], cam.DISTO_NONE)
         else:
             ck, dk = _LEGACY.get(it.get("type", "pinhole"), (cam.CAM_PINHOLE, cam.DISTO_NONE))
-        if focal_mm > 0:
-            mm2px = w / sw
+        mm2px = w / sw
+        if ver < (1, 2, 0):
+            fx = fy = float(it.get("pxFocalLength", -1.0))
+        elif ver < (1, 2, 2):
+            pxf = it.get("pxFocalLength", [-1.0, -1.0])
+            if not isinstance(pxf, (list, tuple)):
+                pxf = [pxf, pxf]
+            fx, fy = float(pxf[0]), float(pxf[1])
+        elif ver < (1, 2, 5):
+            # "pixelRatio" stored the focal ratio: fy = fx / focalRatio
+            fx = focal_mm * mm2px
+            fy = fx / par if par != 0 else fx
+        elif ver < (1, 2, 11):
+            # focal is X; pixel ratio stretches Y
+            fx = focal_mm * mm2px
+            fy = fx * par
+        elif focal_mm > 0:
+            # focal ignores the X stretch: fy = f, fx = f / pixelRatio
             fy = focal_mm * mm2px
             fx = (focal_mm / par) * mm2px if par != 0 else fy
         else:
             fx = fy = max(w, h)  # uninitialized — same default spirit as ref
+        if fx <= 0:
+            fx = fy = max(w, h)
         pp = [float(x) for x in it.get("principalPoint", [0.0, 0.0])]
+        if ver < (1, 2, 1):
+            # principal point was stored absolute, not offset-from-center
+            pp = [pp[0] - w / 2.0, pp[1] - h / 2.0]
         dparams = [float(x) for x in it.get("distortionParams", []) or []]
         idx = scene.add_intrinsic(
             iid, w, h, fx, ck, dk, tuple(dparams), tuple(pp), (sw, sh), focal_y_px=fy
@@ -304,11 +329,9 @@ def load(path: str) -> SfMData:
     if ext in (".sfm", ".json"):
         return load_sfm(path)
     if ext == ".abc":
-        raise NotImplementedError(
-            "Alembic (.abc) needs the Alembic library, which this image "
-            "does not ship; convert with the reference's convertSfMFormat "
-            "to .sfm, which loads here losslessly"
-        )
+        from .alembic import load_abc
+
+        return load_abc(path)
     raise ValueError(f"unsupported scene format: {ext}")
 
 
@@ -316,6 +339,10 @@ def save(scene: SfMData, path: str) -> None:
     ext = os.path.splitext(path)[1].lower()
     if ext in (".sfm", ".json"):
         save_sfm(scene, path)
+    elif ext == ".abc":
+        from .alembic import save_abc
+
+        save_abc(scene, path)
     elif ext == ".ply":
         save_ply(scene, path)
     else:
