@@ -261,3 +261,67 @@ def homography_error_sq(H: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp
     z = jnp.where(jnp.abs(Hp[..., 2:]) < _EPS, _EPS, Hp[..., 2:])
     uv = Hp[..., :2] / z
     return jnp.sum((uv - x2) ** 2, axis=-1)
+
+
+@f32_matmuls
+def fundamental_10pt(
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    n_lambda: int = 33,
+    refine_rounds: int = 3,
+):
+    """F + one shared radial distortion coefficient from >= 10 pixel
+    correspondences (division model applied symmetrically to both views).
+
+    TPU-native re-design of the reference's F10 Gröbner solver
+    (ref: src/aliceVision/multiview/relativePose/Fundamental10PSolver.hpp:37
+    — pose+distortion from 10 pts): a fixed lambda sweep undistorts both
+    sides (x_u = x_d / (1 + λ r̂²), radius normalized by each view's spread
+    so λ is image-size invariant), the 8-point solve scores each λ by total
+    Sampson error, and golden-ratio-style shrinking grids refine λ around
+    the winner — fixed budget, batched over RANSAC samples.
+
+    x1, x2: (..., N>=10, 2) *centered* pixels (principal point at origin).
+    Returns (F (..., 3, 3), lam (...,)) where the model is
+    x2u^T F x1u = 0 with x_u = x / (1 + lam * |x|^2 / s^2), s the mean
+    point radius of the pair.
+    """
+    dt = x1.dtype
+    if mask is None:
+        mask = jnp.ones(x1.shape[:-1], bool)
+    w = mask.astype(dt)
+    cnt = jnp.sum(w, -1, keepdims=True).clip(1.0)
+    s2 = (
+        jnp.sum((jnp.sum(x1 * x1, -1) + jnp.sum(x2 * x2, -1)) * w, -1, keepdims=True)
+        / (2.0 * cnt)
+    ).clip(_EPS)  # (..., 1) mean squared radius
+
+    def undistort(x, lam):
+        # lam: (..., K) broadcast over points; x: (..., N, 2)
+        r2 = jnp.sum(x * x, -1) / s2  # (..., N)
+        d = 1.0 + lam[..., None] * r2[..., None, :]  # (..., K, N)
+        d = jnp.where(jnp.abs(d) < 0.05, 0.05, d)
+        return x[..., None, :, :] / d[..., None]
+
+    def score(lam):
+        u1 = undistort(x1, lam)
+        u2 = undistort(x2, lam)
+        F = fundamental_8pt(u1, u2, mask=jnp.broadcast_to(mask[..., None, :], u1.shape[:-1]))
+        res = epipolar_distance_sq(F, u1, u2)
+        return F, jnp.sum(res * w[..., None, :], -1)
+
+    lo = jnp.full(x1.shape[:-2], -0.5, dt)
+    hi = jnp.full(x1.shape[:-2], 0.5, dt)
+    best_F = None
+    best_lam = None
+    for _ in range(refine_rounds):
+        lam = lo[..., None] + (hi - lo)[..., None] * jnp.linspace(0.0, 1.0, n_lambda, dtype=dt)
+        F, sc = score(lam)
+        i = jnp.argmin(sc, axis=-1)
+        best_lam = jnp.take_along_axis(lam, i[..., None], -1)[..., 0]
+        best_F = jnp.take_along_axis(F, i[..., None, None, None], -3)[..., 0, :, :]
+        step = (hi - lo) / (n_lambda - 1)
+        lo = best_lam - step
+        hi = best_lam + step
+    return best_F, best_lam / s2[..., 0]

@@ -356,3 +356,216 @@ def gauss_newton_pose_refine(
 
     (R, t), _ = jax.lax.scan(step, (R, t), None, length=iters)
     return R, t
+
+
+@f32_matmuls
+def _pose_focal_refine(R, t, logf, world, obs_px, k1=None, iters: int = 8):
+    """Joint Gauss-Newton over (so3, t, log focal[, k1]) on pixel-domain
+    reprojection of the minimal set. Batched over candidates; the 7x7/8x8
+    normal equations are solved densely. k1 is the division-model radial
+    coefficient applied to the *observations* (undistortion), normalized by
+    the focal: x_u = x_d / (1 + k1 |x_d/f|^2)."""
+    import jax
+
+    from ..geometry.rotations import so3_exp
+
+    with_k1 = k1 is not None
+    nparam = 8 if with_k1 else 7
+    if not with_k1:
+        k1 = jnp.zeros_like(logf)
+
+    def residuals(Rc, tc, lf, k):
+        f = jnp.exp(lf)[..., None, None]
+        Xc = jnp.einsum("...ij,...nj->...ni", Rc, world) + tc[..., None, :]
+        z = Xc[..., 2:].clip(1e-6)
+        proj = Xc[..., :2] / z
+        xn = obs_px / f
+        und = xn / (1.0 + k[..., None, None] * jnp.sum(xn * xn, -1, keepdims=True))
+        return (proj - und).reshape(world.shape[:-2] + (-1,))
+
+    def step(carry, _):
+        Rc, tc, lf, k = carry
+
+        def res_flat(dx):
+            Rn = so3_exp(dx[..., :3]) @ Rc
+            tn = tc + dx[..., 3:6]
+            lfn = lf + dx[..., 6]
+            kn = k + (dx[..., 7] if with_k1 else 0.0)
+            return residuals(Rn, tn, lfn, kn)
+
+        zero = jnp.zeros(world.shape[:-2] + (nparam,), world.dtype)
+        r0 = res_flat(zero)
+        cols = [
+            jax.jvp(res_flat, (zero,), (jnp.broadcast_to(b, zero.shape),))[1]
+            for b in jnp.eye(nparam, dtype=world.dtype)
+        ]
+        J = jnp.stack(cols, axis=-1)
+        JtJ = jnp.einsum("...ni,...nj->...ij", J, J) + 1e-8 * jnp.eye(nparam, dtype=world.dtype)
+        Jtr = jnp.einsum("...ni,...n->...i", J, r0)
+        dx = -jnp.linalg.solve(JtJ, Jtr[..., None])[..., 0]
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        Rn = so3_exp(dx[..., :3]) @ Rc
+        tn = tc + dx[..., 3:6]
+        lfn = (lf + dx[..., 6]).clip(lf - 2.0, lf + 2.0)
+        kn = (k + dx[..., 7]) if with_k1 else k
+        return (Rn, tn, lfn, kn), None
+
+    (R, t, logf, k1), _ = jax.lax.scan(step, (R, t, logf, k1), None, length=iters)
+    return R, t, logf, k1
+
+
+def _p3p_focal_sweep(world, obs_px, f_grid):
+    """P3P on points 0-2 over a batch of focal hypotheses; scores by the
+    remaining points' reprojection. world (..., N, 3), obs_px (..., N, 2)
+    centered pixels, f_grid (F,). -> (R, t) of shape (..., F*4, ...) plus
+    pixel-domain score (..., F*4)."""
+    F = f_grid.shape[0]
+    xn = obs_px[..., None, :, :] / f_grid[:, None, None]  # (..., F, N, 2)
+    ones = jnp.ones(xn.shape[:-1] + (1,), xn.dtype)
+    rays = jnp.concatenate([xn, ones], axis=-1)
+    rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+    w3 = jnp.broadcast_to(world[..., None, :3, :], xn.shape[:-2] + (3, 3))
+    R, t, valid = p3p(w3, rays[..., :3, :])  # (..., F, 4, 3, 3)
+
+    wN = world[..., None, None, :, :]  # (..., 1, 1, N, 3)
+    Xc = jnp.einsum("...ij,...nj->...ni", R, jnp.broadcast_to(wN, R.shape[:-2] + world.shape[-2:])) + t[..., None, :]
+    z = Xc[..., 2:].clip(1e-6)
+    proj = Xc[..., :2] / z  # (..., F, 4, N, 2)
+    fpx = f_grid[:, None, None, None]
+    err = jnp.linalg.norm(proj * fpx - obs_px[..., None, None, :, :], axis=-1)
+    score = jnp.max(err, axis=-1) + jnp.where(valid, 0.0, jnp.inf)
+    score = jnp.where(jnp.all(Xc[..., 2] > 0, axis=-1), score, jnp.inf)
+    # flatten (F, 4) candidate axes
+    bs = R.shape[:-4]
+    R = R.reshape(bs + (F * 4, 3, 3))
+    t = t.reshape(bs + (F * 4, 3))
+    lf = jnp.broadcast_to(jnp.log(f_grid)[:, None], bs + (F, 4)).reshape(bs + (F * 4,))
+    return R, t, lf, score.reshape(bs + (F * 4,))
+
+
+@f32_matmuls
+def p4pf(world: jnp.ndarray, obs_px: jnp.ndarray, f_lo: float, f_hi: float,
+         n_f: int = 24, top_k: int = 4):
+    """Pose + unknown focal from 4 points (P4Pf).
+
+    TPU-native re-design of the reference's Gröbner-basis solver
+    (ref: src/aliceVision/multiview/resection/P4PfSolver.hpp:21 — the
+    bougnoux-style action-matrix solve needs a nonsymmetric eigensolver,
+    which XLA lacks): a fixed log-spaced focal sweep feeds batched P3P on
+    points 0-2, the 4th point ranks the (focal x root) candidates, and a
+    joint Gauss-Newton over (so3, t, log f) polishes the top_k — fixed
+    budget, fully vmappable over RANSAC samples.
+
+    world: (..., 4, 3); obs_px: (..., 4, 2) pixels *relative to the
+    principal point*. Returns (R (..., K, 3, 3), t (..., K, 3),
+    f (..., K), valid (..., K)) with x_cam = R x_world + t.
+    """
+    import jax
+
+    dt = world.dtype
+    f_grid = jnp.exp(jnp.linspace(jnp.log(f_lo), jnp.log(f_hi), n_f)).astype(dt)
+    R, t, lf, score = _p3p_focal_sweep(world, obs_px, f_grid)
+    _, idx = jax.lax.top_k(-score, top_k)
+    R = jnp.take_along_axis(R, idx[..., None, None], axis=-3)
+    t = jnp.take_along_axis(t, idx[..., None], axis=-2)
+    lf = jnp.take_along_axis(lf, idx, axis=-1)
+
+    wK = jnp.broadcast_to(world[..., None, :, :], R.shape[:-2] + world.shape[-2:])
+    oK = jnp.broadcast_to(obs_px[..., None, :, :], R.shape[:-2] + obs_px.shape[-2:])
+    R, t, lf, _ = _pose_focal_refine(R, t, lf, wK, oK)
+
+    f = jnp.exp(lf)
+    Xc = jnp.einsum("...kij,...knj->...kni", R, wK) + t[..., None, :]
+    z = Xc[..., 2:].clip(1e-6)
+    err = jnp.linalg.norm(Xc[..., :2] / z * f[..., None, None] - oK, axis=-1)
+    valid = (jnp.max(err, -1) < 1e-2 * f) & jnp.all(Xc[..., 2] > 0, -1)
+    valid &= jnp.all(jnp.isfinite(R.reshape(R.shape[:-2] + (9,))), -1)
+    return R, t, f, valid
+
+
+@f32_matmuls
+def p5pfr(world: jnp.ndarray, obs_px: jnp.ndarray, f_lo: float, f_hi: float,
+          n_f: int = 16, n_k: int = 7, top_k: int = 4):
+    """Pose + focal + radial distortion from 5 points (P5Pfr).
+
+    TPU-native re-design of the reference's solver
+    (ref: src/aliceVision/multiview/resection/P5PfrSolver.hpp:26): a fixed
+    (focal x division-model k1) grid undistorts the observations, batched
+    P3P on points 0-2 is scored by points 3-4, and a joint Gauss-Newton
+    over (so3, t, log f, k1) polishes the top_k candidates.
+
+    world: (..., 5, 3); obs_px: (..., 5, 2) centered pixels. Returns
+    (R (..., K, 3, 3), t (..., K, 3), f (..., K), k1 (..., K),
+    valid (..., K)); k1 acts on focal-normalized radii:
+    x_u = x_d / (1 + k1 |x_d / f|^2).
+    """
+    import jax
+
+    dt = world.dtype
+    f_grid = jnp.exp(jnp.linspace(jnp.log(f_lo), jnp.log(f_hi), n_f)).astype(dt)
+    k_grid = jnp.linspace(-0.6, 0.3, n_k).astype(dt)
+
+    Rs, ts, lfs, kks, scores = [], [], [], [], []
+    for ki in range(n_k):
+        k = k_grid[ki]
+        # undistort observations at this k1 for every focal in the sweep
+        xn = obs_px[..., None, :, :] / f_grid[:, None, None]
+        und = xn / (1.0 + k * jnp.sum(xn * xn, -1, keepdims=True))
+        obs_u = und * f_grid[:, None, None]  # (..., F, N, 2) pixel domain
+        # per-focal P3P on the undistorted pixels (focal re-applied inside)
+        R, t, lf, score = _p3p_focal_sweep_multi(world, obs_u, f_grid)
+        Rs.append(R)
+        ts.append(t)
+        lfs.append(lf)
+        kks.append(jnp.full(score.shape, k, dt))
+        scores.append(score)
+    R = jnp.concatenate(Rs, axis=-3)
+    t = jnp.concatenate(ts, axis=-2)
+    lf = jnp.concatenate(lfs, axis=-1)
+    kk = jnp.concatenate(kks, axis=-1)
+    score = jnp.concatenate(scores, axis=-1)
+    _, idx = jax.lax.top_k(-score, top_k)
+    R = jnp.take_along_axis(R, idx[..., None, None], axis=-3)
+    t = jnp.take_along_axis(t, idx[..., None], axis=-2)
+    lf = jnp.take_along_axis(lf, idx, axis=-1)
+    kk = jnp.take_along_axis(kk, idx, axis=-1)
+
+    wK = jnp.broadcast_to(world[..., None, :, :], R.shape[:-2] + world.shape[-2:])
+    oK = jnp.broadcast_to(obs_px[..., None, :, :], R.shape[:-2] + obs_px.shape[-2:])
+    R, t, lf, kk = _pose_focal_refine(R, t, lf, wK, oK, k1=kk)
+
+    f = jnp.exp(lf)
+    Xc = jnp.einsum("...kij,...knj->...kni", R, wK) + t[..., None, :]
+    z = Xc[..., 2:].clip(1e-6)
+    xn = oK / f[..., None, None]
+    und = xn / (1.0 + kk[..., None, None] * jnp.sum(xn * xn, -1, keepdims=True))
+    err = jnp.linalg.norm((Xc[..., :2] / z - und) * f[..., None, None], axis=-1)
+    valid = (jnp.max(err, -1) < 1e-2 * f) & jnp.all(Xc[..., 2] > 0, -1)
+    valid &= jnp.all(jnp.isfinite(R.reshape(R.shape[:-2] + (9,))), -1)
+    return R, t, f, kk, valid
+
+
+def _p3p_focal_sweep_multi(world, obs_px_per_f, f_grid):
+    """_p3p_focal_sweep variant where the observations already carry the
+    focal axis (per-focal undistorted pixels). obs_px_per_f: (..., F, N, 2)."""
+    F = f_grid.shape[0]
+    xn = obs_px_per_f / f_grid[:, None, None]
+    ones = jnp.ones(xn.shape[:-1] + (1,), xn.dtype)
+    rays = jnp.concatenate([xn, ones], axis=-1)
+    rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+    w3 = jnp.broadcast_to(world[..., None, :3, :], xn.shape[:-2] + (3, 3))
+    R, t, valid = p3p(w3, rays[..., :3, :])
+
+    N = world.shape[-2]
+    wN = jnp.broadcast_to(world[..., None, None, :, :], R.shape[:-2] + (N, 3))
+    Xc = jnp.einsum("...ij,...nj->...ni", R, wN) + t[..., None, :]
+    z = Xc[..., 2:].clip(1e-6)
+    proj = Xc[..., :2] / z
+    err = jnp.linalg.norm(proj - xn[..., None, :, :], axis=-1) * f_grid[:, None, None]
+    score = jnp.max(err, axis=-1) + jnp.where(valid, 0.0, jnp.inf)
+    score = jnp.where(jnp.all(Xc[..., 2] > 0, axis=-1), score, jnp.inf)
+    bs = R.shape[:-4]
+    R = R.reshape(bs + (F * 4, 3, 3))
+    t = t.reshape(bs + (F * 4, 3))
+    lf = jnp.broadcast_to(jnp.log(f_grid)[:, None], bs + (F, 4)).reshape(bs + (F * 4,))
+    return R, t, lf, score.reshape(bs + (F * 4,))

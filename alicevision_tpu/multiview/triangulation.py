@@ -106,3 +106,73 @@ def depths(P: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
     """Projective depth of X (..., 3) in views P (..., K, 3, 4) -> (..., K)."""
     Xh = jnp.concatenate([X, jnp.ones_like(X[..., :1])], axis=-1)
     return jnp.einsum("...kj,...j->...k", P[..., 2, :], Xh)
+
+
+def triangulate_nview_robust(
+    P: jnp.ndarray,
+    x: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    threshold_px: float = 4.0,
+    max_pairs: int = 28,
+    lo_iters: int = 2,
+):
+    """LO-RANSAC N-view triangulation, batched over tracks.
+
+    TPU-native re-design of the reference's LORANSAC track triangulation
+    (ref: src/aliceVision/multiview/triangulation/
+    NViewsTriangulationLORansac.hpp:48 — TriangulateNViewsSphericalKernel +
+    LORansac with best-model refit): instead of adaptively sampled
+    two-view hypotheses, ALL view pairs up to `max_pairs` (a fixed
+    lexicographic enumeration, masked) are triangulated by two-view DLT in
+    one batch, scored by inlier count then total truncated error over the
+    track, and the winner is polished by `lo_iters` rounds of masked
+    N-view DLT refit on its inliers — the "local optimization" step.
+
+    P: (..., K, 3, 4) per-view projections; x: (..., K, 2) pixels;
+    mask: (..., K) valid observations. Returns (X (..., 3),
+    inliers (..., K), valid (...,)).
+    """
+    K = P.shape[-3]
+    if mask is None:
+        mask = jnp.ones(x.shape[:-1], bool)
+
+    # fixed pair enumeration (i < j), truncated to max_pairs
+    ii, jj = jnp.triu_indices(K, k=1)
+    ii, jj = ii[:max_pairs], jj[:max_pairs]
+
+    P1 = P[..., ii, :, :]  # (..., Q, 3, 4)
+    P2 = P[..., jj, :, :]
+    x1 = x[..., ii, :]
+    x2 = x[..., jj, :]
+    pair_ok = mask[..., ii] & mask[..., jj]  # (..., Q)
+
+    X0 = triangulate_dlt(P1, P2, x1, x2)  # (..., Q, 3)
+    err = reprojection_errors(
+        jnp.broadcast_to(P[..., None, :, :, :], X0.shape[:-1] + (K, 3, 4)),
+        jnp.broadcast_to(x[..., None, :, :], X0.shape[:-1] + (K, 2)),
+        X0,
+    )  # (..., Q, K)
+    zpos = depths(
+        jnp.broadcast_to(P[..., None, :, :, :], X0.shape[:-1] + (K, 3, 4)), X0
+    ) > 0
+    inl = (err <= threshold_px) & mask[..., None, :] & zpos
+    n_inl = jnp.sum(inl, -1)
+    # truncated total error breaks inlier-count ties
+    tot = jnp.sum(jnp.minimum(err, threshold_px) * mask[..., None, :], -1)
+    score = n_inl.astype(x.dtype) - tot / (threshold_px * K)
+    score = jnp.where(pair_ok, score, -jnp.inf)
+    best = jnp.argmax(score, axis=-1)
+    X = jnp.take_along_axis(X0, best[..., None, None], -2)[..., 0, :]
+    inliers = jnp.take_along_axis(inl, best[..., None, None], -2)[..., 0, :]
+
+    # local optimization: masked N-view refit on the inlier set
+    for _ in range(lo_iters):
+        Xr = triangulate_nview(P, x, mask=inliers)
+        err_r = reprojection_errors(P, x, Xr)
+        inl_r = (err_r <= threshold_px) & mask & (depths(P, Xr) > 0)
+        better = jnp.sum(inl_r, -1) >= jnp.sum(inliers, -1)
+        X = jnp.where(better[..., None], Xr, X)
+        inliers = jnp.where(better[..., None], inl_r, inliers)
+
+    valid = jnp.sum(inliers, -1) >= 2
+    return X, inliers, valid
