@@ -258,7 +258,9 @@ def _polish_q(XYZW: jnp.ndarray, q: jnp.ndarray, iters: int = 16):
         dq = jnp.linalg.solve(H, g[..., None])[..., 0]
         dq = jnp.where(jnp.isfinite(dq), dq, 0.0)
         q_new = q + dq
-        q_new = q_new / jnp.linalg.norm(q_new, axis=-1, keepdims=True).clip(1e-20)
+        # reject norm collapse (zero is a spurious homogeneous minimum)
+        nn = jnp.linalg.norm(q_new, axis=-1, keepdims=True)
+        q_new = jnp.where(nn > 1e-3, q_new / nn.clip(1e-20), q)
         c_old = jnp.sum(r0 * r0, -1)
         r_new = residuals(q_new)
         c_new = jnp.sum(r_new * r_new, -1)
@@ -309,7 +311,11 @@ def _polish_e9(A5: jnp.ndarray, e: jnp.ndarray, iters: int = 12):
         de = jnp.linalg.solve(H, g[..., None])[..., 0]
         de = jnp.where(jnp.isfinite(de), de, 0.0)
         e_new = e + de
-        e_new = e_new / jnp.linalg.norm(e_new, axis=-1, keepdims=True).clip(1e-20)
+        # the zero vector is a spurious global minimum of the homogeneous
+        # system — reject steps that collapse the norm instead of dividing
+        # by the clip floor
+        nn = jnp.linalg.norm(e_new, axis=-1, keepdims=True)
+        e_new = jnp.where(nn > 1e-3, e_new / nn.clip(1e-20), e)
         c_old = jnp.sum(r0 * r0, -1)
         r_new = residuals(e_new)
         c_new = jnp.sum(r_new * r_new, -1)
@@ -437,8 +443,12 @@ def essential_5pt(x1n: jnp.ndarray, x2n: jnp.ndarray):
     # A sign-scan near-miss that GN pulled onto a root counts; a bracketed
     # interval whose polish diverged does not.
     res = jnp.linalg.norm(_constraints(E), axis=-1)
+    # the residual test only means something for unit-scale E: the zero
+    # matrix satisfies every homogeneous cubic constraint trivially
+    e_norm = jnp.linalg.norm(E.reshape(E.shape[:-2] + (9,)), axis=-1)
     valid = (
         (res < 5e-4)
+        & (e_norm > 0.5)
         & ok_gj[..., None]
         & jnp.all(jnp.isfinite(E.reshape(E.shape[:-2] + (9,))), axis=-1)
     )
