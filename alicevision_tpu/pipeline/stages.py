@@ -184,7 +184,7 @@ def image_matching(
     input_sfm: str,
     features_folder: str,
     output_pairs: str,
-    method: str = "exhaustive",  # exhaustive | voctree | sequential
+    method: str = "exhaustive",  # exhaustive | voctree | sequential | frustum
     n_neighbors: int = 10,
     tree_branching: int = 8,
     tree_levels: int = 3,
@@ -200,6 +200,13 @@ def image_matching(
         pairs = vt.exhaustive_pairs(n)
     elif method == "sequential":
         pairs = vt.sequential_pairs(n, window=n_neighbors)
+    elif method == "frustum":
+        # geometric pair selection on posed scenes: SAT frustum intersection
+        # (ref: imageMatching/ImageMatching.hpp:50-58 FRUSTUM mode,
+        # sfm/FrustumFilter.cpp)
+        from ..sfm.frustum import frustum_pairs
+
+        pairs = frustum_pairs(sc)
     elif method == "voctree":
         descs, valids = [], []
         for v in range(n):

@@ -56,6 +56,11 @@ class IncrementalConfig:
     # added views are held constant during BA.
     local_ba_min_views: int = 50
     local_ba_distance: int = 1
+    # LO-RANSAC per-track triangulation (ref: sfm/pipeline/expanding/
+    # SfmTriangulation.cpp via NViewsTriangulationLORansac.hpp:48) — view
+    # pairs voted by the whole track, masked N-view refit on the inliers.
+    # Costs one extra batched pass; worthwhile when matches carry outliers.
+    robust_triangulation: bool = False
 
 
 class IncrementalResult:
@@ -282,8 +287,9 @@ class IncrementalSfM:
 
         Pb = P[self.tbl_view]  # (T, K, 3, 4)
         uv = self.obs_norm[self.tbl_obs]  # (T, K, 2)
+        gate = _triangulate_gated_robust if cfg.robust_triangulation else _triangulate_gated
         X = np.asarray(
-            _triangulate_gated(
+            gate(
                 jnp.asarray(Pb),
                 jnp.asarray(uv, jnp.float32),
                 jnp.asarray(m),
@@ -490,6 +496,33 @@ def _triangulate_gated(Pb, uv, mask, centers, max_err_norm, min_angle_rad):
     max_ang = jnp.max(ang, axis=(1, 2))
 
     good = jnp.all(ok_err, axis=1) & (max_ang > min_angle_rad)
+    return jnp.where(good[:, None], X, jnp.nan)
+
+
+@jax.jit
+def _triangulate_gated_robust(Pb, uv, mask, centers, max_err_norm, min_angle_rad):
+    """LO-RANSAC variant of the gated triangulation: view-pair hypotheses
+    voted by the whole track, masked refit on inliers, then the same
+    reprojection/angle gates restricted to the inlier views
+    (ref: multiview/triangulation/NViewsTriangulationLORansac.hpp:48)."""
+    X, inl, valid = mv.triangulate_nview_robust(
+        Pb, uv, mask=mask, threshold_px=max_err_norm
+    )
+    Xh = jnp.concatenate([X, jnp.ones_like(X[..., :1])], axis=-1)
+    proj = jnp.einsum("tkij,tj->tki", Pb, Xh)
+    z = proj[..., 2]
+    uvp = proj[..., :2] / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)[..., None]
+    err = jnp.linalg.norm(uvp - uv, axis=-1)
+    ok_err = jnp.where(inl, (err < max_err_norm) & (z > 0), True)
+
+    d = X[:, None, :] - centers
+    dn = d / jnp.linalg.norm(d, axis=-1, keepdims=True).clip(1e-12)
+    cosang = jnp.einsum("tki,tmi->tkm", dn, dn)
+    pair_m = inl[:, :, None] & inl[:, None, :]
+    ang = jnp.where(pair_m, jnp.arccos(jnp.clip(cosang, -1.0, 1.0)), 0.0)
+    max_ang = jnp.max(ang, axis=(1, 2))
+
+    good = valid & jnp.all(ok_err, axis=1) & (max_ang > min_angle_rad)
     return jnp.where(good[:, None], X, jnp.nan)
 
 

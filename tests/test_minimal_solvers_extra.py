@@ -193,3 +193,39 @@ def test_triangulate_nview_robust_beats_plain_dlt_with_outliers():
     er = np.linalg.norm(np.asarray(Xr) - Xgt, axis=1)
     ep = np.linalg.norm(np.asarray(Xp) - Xgt, axis=1)
     assert np.median(er) < np.median(ep) * 0.1
+
+
+def test_incremental_sfm_robust_triangulation_with_bad_obs():
+    """The LO-RANSAC triangulation path survives corrupted observations
+    that break individual tracks (ref: expanding SfmTriangulation)."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_incremental_sfm import _tracks_from_scene
+    from alicevision_tpu import camera as cam
+    from alicevision_tpu.sfm.incremental import IncrementalConfig, IncrementalSfM
+    from alicevision_tpu.utils.synthetic import ring_scene
+
+    scene = ring_scene(n_views=8, n_points=100, noise_px=0.3, seed=0)
+    tracks, features_xy, _ = _tracks_from_scene(scene)
+    # corrupt ~10% of feature positions (simulating bad matches in tracks)
+    rng = np.random.RandomState(7)
+    for v in features_xy:
+        f = features_xy[v]
+        if len(f) == 0:
+            continue
+        k = max(1, len(f) // 10)
+        idx = rng.choice(len(f), k, replace=False)
+        f[idx] += rng.randn(k, 2) * 120 + 60
+    intr = cam.Intrinsics(
+        *jax.tree_util.tree_map(lambda a: np.asarray(a)[None], scene.intrinsics)
+    )
+    eng = IncrementalSfM(
+        tracks, features_xy, intr,
+        view_intrinsic=np.zeros(8, np.int32),
+        image_sizes=np.tile([1920, 1080], (8, 1)),
+        config=IncrementalConfig(seed=0, robust_triangulation=True),
+    )
+    res = eng.process()
+    assert res.posed.sum() == 8
+    assert res.point_valid.sum() > 50
