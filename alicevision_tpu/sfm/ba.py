@@ -115,18 +115,38 @@ def build_problem(
 
 
 def _residuals(problem: BAProblem, cam_q, cam_c, points):
-    """r (L, K, 2) only — the cheap path for cost evaluation."""
-    Rm = quat_to_mat(cam_q)[problem.obs_cam]  # (L, K, 3, 3)
-    c = cam_c[problem.obs_cam]
-    X = jnp.broadcast_to(points[:, None, :], c.shape)
-    intr_rows = jax.tree_util.tree_map(lambda a: a[problem.obs_intr], problem.intr)
-    x_cam = jnp.einsum("lkij,lkj->lki", Rm, X - c, precision="highest")
-    pix = cam.project_cam(intr_rows, x_cam)
-    return pix - problem.obs_uv
+    """r (2, K, L) only — the cheap path for cost evaluation (same
+    observation-minor layout as _residuals_and_jacobians)."""
+    ocT = problem.obs_cam.T  # (K, L)
+    L, K = problem.obs_cam.shape
+    C = cam_q.shape[0]
+    # one-hot matmul broadcast (see _residuals_and_jacobians for why)
+    ohT = jax.nn.one_hot(ocT, C, dtype=cam_q.dtype, axis=0).reshape(C, K * L)
+    tblC = jnp.concatenate([quat_to_mat(cam_q).reshape(C, 9), cam_c], axis=1)
+    g = jax.lax.dot_general(
+        tblC.T, ohT, (((1,), (0,)), ((), ())), precision="highest"
+    ).reshape(12, K, L)
+    R = [g[i] for i in range(9)]
+    vx = points[:, 0][None] - g[9]
+    vy = points[:, 1][None] - g[10]
+    vz = points[:, 2][None] - g[11]
+    u = jnp.stack(
+        [
+            R[0] * vx + R[1] * vy + R[2] * vz,
+            R[3] * vx + R[4] * vy + R[5] * vz,
+            R[6] * vx + R[7] * vy + R[8] * vz,
+        ],
+        -1,
+    )  # (K, L, 3)
+    intr_rows = jax.tree_util.tree_map(lambda a: a[problem.obs_intr.T], problem.intr)
+    pix = cam.project_cam(intr_rows, u)
+    uvT = jnp.moveaxis(problem.obs_uv, -1, 0)  # (2, L, K)
+    return jnp.stack([pix[..., 0] - uvT[0].T, pix[..., 1] - uvT[1].T])
 
 
 def _residuals_and_jacobians(problem: BAProblem, cam_q, cam_c, points):
-    """r (L,K,2), J_c (L,K,2,6), J_l (L,K,2,3) — analytic chain rule.
+    """r (2,K,L), J_c (2,6,K,L), J_l (2,3,K,L) — analytic chain rule in
+    *observation-minor* layout.
 
     Only the intrinsic projection pix(x_cam) is differentiated with
     forward-mode autodiff (3 tangent basis vectors of a cheap elementwise
@@ -134,38 +154,68 @@ def _residuals_and_jacobians(problem: BAProblem, cam_q, cam_c, points):
       d x_cam / d rot  = -[x_cam]_x   (left-multiplied so3 tangent)
       d x_cam / d c    = -R,   d x_cam / d X = R
     matching the reference's hand-written Jacobians
-    (sfm/bundle/costfunctions/projection.hpp:14-30). 2.6x cheaper on TPU
-    than linearizing the full chain over 9 basis vectors. Rotations are
-    applied with f32-accumulated einsums — the default bf16 matmul path
-    costs ~2px at 1000px scale.
-    """
-    Rm = quat_to_mat(cam_q)[problem.obs_cam]  # (L, K, 3, 3)
-    c = cam_c[problem.obs_cam]
-    X = jnp.broadcast_to(points[:, None, :], c.shape)
-    intr_rows = jax.tree_util.tree_map(lambda a: a[problem.obs_intr], problem.intr)
-    u = jnp.einsum("lkij,lkj->lki", Rm, X - c, precision="highest")  # x_cam
+    (sfm/bundle/costfunctions/projection.hpp:14-30).
 
+    Layout: every per-observation quantity is a small stack of (K, L)
+    planes, never an (L, K, 2, 3)-style tensor — TPU tiles pad the two
+    minor axes to (8, 128), so a trailing 3 burns 42x the vector lanes.
+    The component form is 7x faster wall-clock for identical math.
+    """
+    L, K = problem.obs_cam.shape
+    C = cam_q.shape[0]
+    ocT = problem.obs_cam.T  # (K, L)
+    # Broadcast per-camera values to observations with ONE one-hot matmul:
+    # a (C,)-table gather by a (K, L) index array costs ~4 ms on TPU when
+    # the table changes every LM iteration (no hoisting); the (12, C) x
+    # (C, KL) matmul is ~10 us for the same result.
+    ohT = jax.nn.one_hot(ocT, C, dtype=cam_q.dtype, axis=0).reshape(C, K * L)
+    tblC = jnp.concatenate([quat_to_mat(cam_q).reshape(C, 9), cam_c], axis=1)
+    g = jax.lax.dot_general(
+        tblC.T, ohT, (((1,), (0,)), ((), ())), precision="highest"
+    ).reshape(12, K, L)
+    R = [g[i] for i in range(9)]  # R[3*i+j] = R_ij per observation
+    vx = points[:, 0][None] - g[9]  # (K, L)
+    vy = points[:, 1][None] - g[10]
+    vz = points[:, 2][None] - g[11]
+    ux = R[0] * vx + R[1] * vy + R[2] * vz
+    uy = R[3] * vx + R[4] * vy + R[5] * vz
+    uz = R[6] * vx + R[7] * vy + R[8] * vz
+    u = jnp.stack([ux, uy, uz], -1)  # (K, L, 3) — boundary for project_cam
+
+    intr_rows = jax.tree_util.tree_map(lambda a: a[problem.obs_intr.T], problem.intr)
     pix, lin = jax.linearize(lambda xc: cam.project_cam(intr_rows, xc), u)
     eye3 = jnp.eye(3, dtype=u.dtype)
-    A = jnp.stack(
-        [lin(jnp.broadcast_to(e, u.shape)) for e in eye3], -1
-    )  # (L, K, 2, 3) = d pix / d x_cam
-    r = pix - problem.obs_uv
+    Acols = [lin(jnp.broadcast_to(e, u.shape)) for e in eye3]  # 3 x (K, L, 2)
+    A = [[Acols[i][..., r] for i in range(3)] for r in range(2)]  # A[r][i]
 
-    ux, uy, uz = u[..., 0], u[..., 1], u[..., 2]
-    z = jnp.zeros_like(ux)
-    skew_u = jnp.stack(
-        [
-            jnp.stack([z, -uz, uy], -1),
-            jnp.stack([uz, z, -ux], -1),
-            jnp.stack([-uy, ux, z], -1),
-        ],
-        -2,
-    )  # (L, K, 3, 3)
-    J_rot = -jnp.einsum("lkri,lkij->lkrj", A, skew_u, precision="highest")
-    J_pt = jnp.einsum("lkri,lkij->lkrj", A, Rm, precision="highest")
-    Jc = jnp.concatenate([J_rot, -J_pt], -1)  # d x_cam/d c = -R
-    return r, Jc, J_pt
+    uvT = jnp.moveaxis(problem.obs_uv, -1, 0)  # (2, L, K)
+    r_out = jnp.stack(
+        [pix[..., 0] - uvT[0].T, pix[..., 1] - uvT[1].T]
+    )  # (2, K, L)
+
+    rot_rows, pt_rows = [], []
+    for r_ in range(2):
+        a0, a1, a2 = A[r_]
+        # J_rot = -A [u]_x ; J_pt = A R
+        rot_rows.append(
+            jnp.stack(
+                [-(a1 * uz - a2 * uy), -(-a0 * uz + a2 * ux), -(a0 * uy - a1 * ux)]
+            )
+        )
+        pt_rows.append(
+            jnp.stack(
+                [
+                    a0 * R[0] + a1 * R[3] + a2 * R[6],
+                    a0 * R[1] + a1 * R[4] + a2 * R[7],
+                    a0 * R[2] + a1 * R[5] + a2 * R[8],
+                ]
+            )
+        )
+    J_pt = jnp.stack(pt_rows)  # (2, 3, K, L)
+    Jc = jnp.concatenate(
+        [jnp.stack(rot_rows), -J_pt], axis=1
+    )  # (2, 6, K, L); d x_cam/d c = -R
+    return r_out, Jc, J_pt
 
 
 def _quat_premul_mat(dq_mat, q):
@@ -219,60 +269,139 @@ def _chol3(A):
     return jnp.stack([row0, row1, row2], -2)
 
 
+def _sym3_inv_c(a, b, c, d, e, f):
+    """Closed-form inverse of symmetric 3x3 given the six unique components
+    (upper triangle: a=00, b=01, c=02, d=11, e=12, f=22) as same-shape
+    arrays. Returns the six components of the inverse."""
+    co_a = d * f - e * e
+    co_b = c * e - b * f
+    co_c = b * e - c * d
+    det = a * co_a + b * co_b + c * co_c
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < _EPS, _EPS, det)
+    return (
+        co_a * inv_det,
+        co_b * inv_det,
+        co_c * inv_det,
+        (a * f - c * c) * inv_det,
+        (b * c - a * e) * inv_det,
+        (a * d - b * b) * inv_det,
+    )
+
+
+def _chol3_c(a, b, c, d, e, f):
+    """Closed-form lower Cholesky of SPD 3x3 from the six unique components
+    (a=00, b=01, c=02, d=11, e=12, f=22). Returns (l11, l21, l31, l22,
+    l32, l33) as same-shape arrays."""
+    l11 = jnp.sqrt(jnp.maximum(a, _EPS))
+    l21 = b / l11
+    l31 = c / l11
+    l22 = jnp.sqrt(jnp.maximum(d - l21 * l21, _EPS))
+    l32 = (e - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(f - l31 * l31 - l32 * l32, _EPS))
+    return l11, l21, l31, l22, l32, l33
+
+
 def _schur_solve(problem, r, Jc, Jl, lam):
     """One damped Schur step: returns (dx_cam (C,6), dx_pt (L,3)).
 
-    The reduced camera system is assembled entirely with MXU matmuls:
-    camera diagonal blocks and gradients come from one-hot matmuls over the
-    flattened observation axis, and the off-diagonal Schur term uses the
-    factorization W V^-1 W^T = (W Vh)(W Vh)^T with Vh = chol(V^-1), so
-    S_off = -B B^T is one (6C, 3L) x (3L, 6C) matmul — symmetric PSD by
-    construction, and 1.7x faster on TPU than the per-pair block scatter.
+    Inputs are in the observation-minor layout of _residuals_and_jacobians:
+    r (2,K,L), Jc (2,6,K,L), Jl (2,3,K,L). All per-landmark block algebra
+    (V, W, the chol(V^-1) elimination) is componentwise VPU math over
+    (K, L) planes — the K=8 sublane / L-lane tiling is exact, where the
+    old (L,K,3,3) layout padded every trailing 3 to 128 lanes. The reduced
+    camera system is assembled with MXU matmuls: camera diagonal blocks
+    and gradients come from one-hot contractions over the observation
+    plane, and the off-diagonal Schur term uses the factorization
+    W V^-1 W^T = (W Vh)(W Vh)^T with Vh = chol(V^-1), so S_off = -B B^T
+    is one (6C, 3KL)-contraction — symmetric PSD by construction.
     """
     L, K = problem.obs_mask.shape
     C = problem.cam_q.shape[0]
-    m = problem.obs_mask.astype(r.dtype)
+    mT = problem.obs_mask.T.astype(r.dtype)  # (K, L)
+    ocT = problem.obs_cam.T  # (K, L)
 
-    # Zero Jacobians of fixed parameters (makes them CONSTANT).
-    Jc = Jc * (~problem.cam_fixed)[problem.obs_cam][..., None, None]
-    Jl = Jl * (~problem.point_fixed)[:, None, None, None]
-    Jc = Jc * m[..., None, None]
-    Jl = Jl * m[..., None, None]
-    r = r * m[..., None]
+    # Zero Jacobians of fixed parameters (makes them CONSTANT) + mask.
+    live_cam = (~problem.cam_fixed).astype(r.dtype)[ocT] * mT  # (K, L)
+    live_pt = (~problem.point_fixed).astype(r.dtype)[None] * mT  # (K, L)
+    Jc = Jc * live_cam
+    Jl = Jl * live_pt
+    r = r * mT
 
-    # Per-landmark blocks.
-    V = jnp.einsum("lkri,lkrj->lij", Jl, Jl)  # (L, 3, 3)
-    W = jnp.einsum("lkri,lkrj->lkij", Jc, Jl)  # (L, K, 6, 3)
-    g_l = -jnp.einsum("lkri,lkr->li", Jl, r)  # (L, 3)
+    # Per-landmark blocks, summed over the K observations (sublane axis).
+    # V (3x3 sym): six unique components, each (L,).
+    def dotk(x, y):  # sum over r(2) and k -> (L,)
+        return jnp.sum(x[0] * y[0] + x[1] * y[1], axis=0)
 
-    # Per-camera blocks via one-hot matmuls (no scatter).
-    LK = L * K
-    oh3 = jax.nn.one_hot(problem.obs_cam, C, dtype=r.dtype) * m[..., None]  # (L,K,C)
-    onehot = oh3.reshape(LK, C)
-    Jc2 = Jc.reshape(LK, 2, 6)
-    r2 = r.reshape(LK, 2)
-    JJ = jnp.einsum("ori,orj->oij", Jc2, Jc2).reshape(LK, 36)
-    U = jax.lax.dot_general(
-        onehot, JJ, (((0,), (0,)), ((), ())), precision="highest"
-    ).reshape(C, 6, 6)
-    Jr = jnp.einsum("ori,or->oi", Jc2, r2)
+    Jl_c = [[Jl[r_, i] for i in range(3)] for r_ in range(2)]  # (K, L) planes
+    Jc_c = [[Jc[r_, i] for i in range(6)] for r_ in range(2)]
+    JlT = lambda i: (Jl_c[0][i], Jl_c[1][i])
+    JcT = lambda i: (Jc_c[0][i], Jc_c[1][i])
+    V = {}
+    for i in range(3):
+        for j in range(i, 3):
+            V[(i, j)] = dotk(JlT(i), JlT(j))
+    g_l = [-jnp.sum(Jl[:, i] * r, axis=(0, 1)) for i in range(3)]  # 3 x (L,)
+
+    # Per-camera blocks via one-hot contractions over the (K, L) plane.
+    onehotT = (jax.nn.one_hot(ocT, C, dtype=r.dtype, axis=0) * mT).reshape(
+        C, K * L
+    )  # (C, KL)
+    # U: 21 unique components of J_c^T J_c per camera.
+    iu = [(i, j) for i in range(6) for j in range(i, 6)]
+    JJ = jnp.stack(
+        [(Jc[0, i] * Jc[0, j] + Jc[1, i] * Jc[1, j]).reshape(K * L) for i, j in iu]
+    )  # (21, KL)
+    Ucomp = jax.lax.dot_general(
+        onehotT, JJ, (((1,), (1,)), ((), ())), precision="highest"
+    )  # (C, 21)
+    Jr = jnp.stack(
+        [(Jc[0, i] * r[0] + Jc[1, i] * r[1]).reshape(K * L) for i in range(6)]
+    )  # (6, KL)
     g_c = -jax.lax.dot_general(
-        onehot, Jr, (((0,), (0,)), ((), ())), precision="highest"
-    )
+        onehotT, Jr, (((1,), (1,)), ((), ())), precision="highest"
+    )  # (C, 6)
+    U = jnp.zeros((C, 6, 6), r.dtype)
+    for n, (i, j) in enumerate(iu):
+        U = U.at[:, i, j].set(Ucomp[:, n])
+        if i != j:
+            U = U.at[:, j, i].set(Ucomp[:, n])
 
     # LM damping (multiplicative on the diagonal, Marquardt style).
-    eyeV = jnp.eye(3, dtype=r.dtype)
+    dampV = 1.0 + lam
+    Vd = {
+        (i, j): V[(i, j)] * (dampV if i == j else 1.0) + (1e-9 if i == j else 0.0)
+        for (i, j) in V
+    }
     eyeU = jnp.eye(6, dtype=r.dtype)
-    V_d = V + lam * (V * eyeV) + 1e-9 * eyeV
     U_d = U + lam * (U * eyeU) + 1e-9 * eyeU
 
-    V_inv = _sym3_inv(V_d)  # (L, 3, 3)
-    Vh = _chol3(V_inv)  # V^-1 = Vh Vh^T
-    Y = jnp.einsum("lkij,ljh->lkih", W, Vh)  # (L, K, 6, 3)
+    Vi = _sym3_inv_c(
+        Vd[(0, 0)], Vd[(0, 1)], Vd[(0, 2)], Vd[(1, 1)], Vd[(1, 2)], Vd[(2, 2)]
+    )
+    l11, l21, l31, l22, l32, l33 = _chol3_c(*Vi)  # V^-1 = Vh Vh^T (lower)
+    Vh = [[l11, None, None], [l21, l22, None], [l31, l32, l33]]
 
-    # S_off = -B B^T with B[c*6, l*3] = sum_k onehot * Y.
-    B = jnp.einsum("lkc,lkd->lcd", oh3, Y.reshape(L, K, 18), precision="highest")
-    Bm = B.reshape(L, C, 6, 3).transpose(1, 2, 0, 3).reshape(C * 6, L * 3)
+    # W (6x3 per obs): W[i][h] = sum_r Jc[r,i] * Jl[r,h]  (K, L) planes.
+    W = [
+        [Jc[0, i] * Jl[0, h] + Jc[1, i] * Jl[1, h] for h in range(3)]
+        for i in range(6)
+    ]
+    # Y = W Vh (lower-triangular): Y[i][h] = sum_{j>=h} W[i][j] Vh[j][h]
+    Y = [
+        [
+            W[i][0] * l11 + W[i][1] * l21 + W[i][2] * l31,
+            W[i][1] * l22 + W[i][2] * l32,
+            W[i][2] * l33,
+        ]
+        for i in range(6)
+    ]
+
+    # S_off = -B B^T with B[(c,i), (h,l)] = sum_k onehot * Y[i][h].
+    Y18 = jnp.stack([Y[i][h] for i in range(6) for h in range(3)])  # (18,K,L)
+    oh_kl = onehotT.reshape(C, K, L)
+    # output order cihl => Bm is a pure reshape, no relayout
+    B = jnp.einsum("ckl,dkl->cdl", oh_kl, Y18, precision="highest")
+    Bm = B.reshape(C * 6, 3 * L)
     S_off = -jax.lax.dot_general(
         Bm, Bm, (((1,), (1,)), ((), ())), precision="highest"
     )
@@ -280,9 +409,20 @@ def _schur_solve(problem, r, Jc, Jl, lam):
     S_mat = S_off + D.reshape(C * 6, C * 6)
 
     # RHS: b = g_c - sum_lk onehot * (Y (Vh^T g_l)).
-    gls = jnp.einsum("ljh,lj->lh", Vh, g_l)  # (L, 3)
-    corr = jnp.einsum("lkih,lh->lki", Y, gls)  # (L, K, 6)
-    b = g_c - jnp.einsum("lkc,lki->ci", oh3, corr, precision="highest")
+    gls = [
+        l11 * g_l[0] + l21 * g_l[1] + l31 * g_l[2],
+        l22 * g_l[1] + l32 * g_l[2],
+        l33 * g_l[2],
+    ]  # (L,) each — Vh^T g_l
+    corr = jnp.stack(
+        [
+            (Y[i][0] * gls[0][None] + Y[i][1] * gls[1][None] + Y[i][2] * gls[2][None]).reshape(K * L)
+            for i in range(6)
+        ]
+    )  # (6, KL)
+    b = g_c - jax.lax.dot_general(
+        onehotT, corr, (((1,), (1,)), ((), ())), precision="highest"
+    )
 
     # Dense solve of the reduced camera system (6C x 6C).
     dx_cam = jax.scipy.linalg.solve(
@@ -292,19 +432,36 @@ def _schur_solve(problem, r, Jc, Jl, lam):
     ).reshape(C, 6)
 
     # Back-substitute landmarks: dx_l = V^-1 (g_l - sum_k W^T dx_cam).
-    t = jnp.einsum("lkij,lki->lj", W, dx_cam[problem.obs_cam])  # (L, 3)
-    dx_pt = jnp.einsum("lij,lj->li", V_inv, g_l - t)
+    # NB: dx_cam.T[i][ocT] gathers cost ~4 ms here (tiny-table gather after
+    # a dependent solve defeats the TPU gather lowering); the one-hot
+    # matmul is ~10 us for identical math.
+    dxc = jax.lax.dot_general(
+        dx_cam.T, onehotT, (((1,), (0,)), ((), ())), precision="highest"
+    ).reshape(6, K, L)
+    t = [
+        jnp.sum(sum(W[i][h] * dxc[i] for i in range(6)), axis=0)
+        for h in range(3)
+    ]  # 3 x (L,)
+    rhs = [g_l[h] - t[h] for h in range(3)]
+    ia, ib, ic, id_, ie, if_ = Vi
+    dx_pt = jnp.stack(
+        [
+            ia * rhs[0] + ib * rhs[1] + ic * rhs[2],
+            ib * rhs[0] + id_ * rhs[1] + ie * rhs[2],
+            ic * rhs[0] + ie * rhs[1] + if_ * rhs[2],
+        ],
+        axis=-1,
+    )  # (L, 3)
     return dx_cam, dx_pt
 
 
 def _cost(problem, cam_q, cam_c, points, huber_delta):
-    r = _residuals(problem, cam_q, cam_c, points)
-    m = problem.obs_mask
-    n = jnp.linalg.norm(r, axis=-1)
+    r = _residuals(problem, cam_q, cam_c, points)  # (2, K, L)
+    n = jnp.sqrt(r[0] * r[0] + r[1] * r[1])
     rho = jnp.where(
         n <= huber_delta, 0.5 * n * n, huber_delta * (n - 0.5 * huber_delta)
     )
-    return jnp.sum(jnp.where(m, rho, 0.0))
+    return jnp.sum(jnp.where(problem.obs_mask.T, rho, 0.0))
 
 
 def ba_solve(
@@ -324,11 +481,13 @@ def ba_solve(
 
     def body(state):
         q, c, X, lam, cost, it, done = state
-        r, Jc, Jl = _residuals_and_jacobians(problem, q, c, X)
-        w = _huber_weights(r, huber) * problem.obs_mask
-        rw = r * w[..., None]
-        Jcw = Jc * w[..., None, None]
-        Jlw = Jl * w[..., None, None]
+        r, Jc, Jl = _residuals_and_jacobians(problem, q, c, X)  # obs-minor
+        n = jnp.sqrt(r[0] * r[0] + r[1] * r[1])  # (K, L)
+        w = jnp.where(n <= huber, 1.0, jnp.sqrt(huber / n.clip(_EPS)))
+        w = w * problem.obs_mask.T
+        rw = r * w
+        Jcw = Jc * w
+        Jlw = Jl * w
         dx_cam, dx_pt = _schur_solve(problem, rw, Jcw, Jlw, lam)
 
         dq = so3_exp(dx_cam[:, 0:3])
@@ -448,6 +607,11 @@ def pose_covariances(problem: BAProblem, cam_q, cam_c, points) -> jnp.ndarray:
     covariance via Schur-complement inverse). Returns (C, 6, 6).
     """
     r, Jc, Jl = _residuals_and_jacobians(problem, cam_q, cam_c, points)
+    # this cold path keeps the original landmark-major block algebra: adapt
+    # from the hot path's observation-minor layout
+    r = jnp.transpose(r, (2, 1, 0))  # (L, K, 2)
+    Jc = jnp.transpose(Jc, (3, 2, 0, 1))  # (L, K, 2, 6)
+    Jl = jnp.transpose(Jl, (3, 2, 0, 1))  # (L, K, 2, 3)
     m = problem.obs_mask
     C = cam_q.shape[0]
     L, K = m.shape
@@ -488,7 +652,7 @@ def pose_covariances(problem: BAProblem, cam_q, cam_c, points) -> jnp.ndarray:
 
 
 def rms_reprojection_error(problem: BAProblem, cam_q, cam_c, points) -> jnp.ndarray:
-    r = _residuals(problem, cam_q, cam_c, points)
-    m = problem.obs_mask
-    sq = jnp.sum(r * r, axis=-1)
+    r = _residuals(problem, cam_q, cam_c, points)  # (2, K, L)
+    sq = r[0] * r[0] + r[1] * r[1]
+    m = problem.obs_mask.T
     return jnp.sqrt(jnp.sum(jnp.where(m, sq, 0.0)) / jnp.sum(m).clip(1))
