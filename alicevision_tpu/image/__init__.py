@@ -1,4 +1,7 @@
-from . import cache, feeds, filtering, io, processing
+from . import cache, colorspace, feeds, filtering, io, processing
 from .cache import ImageCache
 
-__all__ = ["ImageCache", "cache", "feeds", "filtering", "io", "processing"]
+__all__ = [
+    "ImageCache", "cache", "colorspace", "feeds", "filtering", "io",
+    "processing",
+]

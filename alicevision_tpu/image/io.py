@@ -28,10 +28,18 @@ def read_image(path: str, grayscale: bool = False) -> np.ndarray:
     """Read any common format -> float32 in [0, 1], (H, W[, 3])."""
     if path.endswith(".npy"):
         img = np.load(path)
-    elif path.endswith(".exr") and _EXR_ENABLED:
-        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
-        if img is not None and img.ndim == 3:
-            img = img[..., ::-1]  # BGR -> RGB
+    elif path.endswith(".exr") and os.path.exists(path + ".npy"):
+        img = np.load(path + ".npy")  # legacy no-EXR-codec fallback files
+    elif path.endswith(".exr"):
+        from .exr import read_exr
+
+        try:
+            img = read_exr(path)  # native scanline reader (NONE/ZIP/ZIPS)
+        except ValueError:
+            # exotic compression (PIZ etc.) — try cv2 if its codec exists
+            img = cv2.imread(path, cv2.IMREAD_UNCHANGED) if _EXR_ENABLED else None
+            if img is not None and img.ndim == 3:
+                img = img[..., ::-1]  # BGR -> RGB
     else:
         import imageio.v2 as imageio
 
@@ -56,13 +64,9 @@ def write_image(path: str, img: np.ndarray) -> None:
         np.save(path, img.astype(np.float32))
         return
     if path.endswith(".exr"):
-        if _EXR_ENABLED:
-            out = img.astype(np.float32)
-            if out.ndim == 3:
-                out = out[..., ::-1]
-            if cv2.imwrite(path, out):
-                return
-        np.save(path + ".npy", img.astype(np.float32))
+        from .exr import write_exr
+
+        write_exr(path, img.astype(np.float32))
         return
     import imageio.v2 as imageio
 

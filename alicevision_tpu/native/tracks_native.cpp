@@ -38,6 +38,8 @@ void uf_connected_components(const int64_t* a, const int64_t* b,
     };
 
     for (int64_t e = 0; e < n_edges; ++e) {
+        if (a[e] < 0 || a[e] >= n_nodes || b[e] < 0 || b[e] >= n_nodes)
+            continue;  // defend the heap against malformed edge lists
         int64_t ra = find(a[e]);
         int64_t rb = find(b[e]);
         if (ra == rb) continue;
@@ -77,6 +79,10 @@ double bk_maxflow(int64_t n_nodes, const int64_t* eu, const int64_t* ev,
         arcs.push_back(a);
     };
     for (int64_t e = 0; e < n_edges; ++e) {
+        if (eu[e] < 0 || eu[e] >= n_nodes || ev[e] < 0 || ev[e] >= n_nodes) {
+            // keep arc pairing (index ^ 1) intact: skip the whole pair
+            continue;
+        }
         add_arc((int32_t)eu[e], (int32_t)ev[e], ecap[e]);
         add_arc((int32_t)ev[e], (int32_t)eu[e], erev[e]);
     }

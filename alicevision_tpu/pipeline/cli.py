@@ -34,6 +34,14 @@ def _add_common(p):
     p.add_argument("--verboseLevel", default="info", help="log level")
     p.add_argument("--rangeStart", type=int, default=0)
     p.add_argument("--rangeSize", type=int, default=-1)
+    p.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture a JAX/XLA device trace for this stage into DIR "
+        "(view with TensorBoard/Perfetto) — the TPU analog of the "
+        "reference's NVTX ranges (ref: system/nvtx.hpp)",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -315,6 +323,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dcp", default=None, help="DNG camera profile (.dcp XML)")
     p.add_argument("--cct", type=float, default=5000.0,
                    help="correlated color temperature for DCP interpolation")
+    p.add_argument("--inputColorSpace", default="auto",
+                   help="srgb|linear|rec709|aces2065-1|acescg|xyz|lab|auto")
+    p.add_argument("--outputColorSpace", default="auto",
+                   help="srgb|linear|rec709|aces2065-1|acescg|xyz|lab|auto")
     _add_common(p)
 
     p = sub.add_parser("imageSegmentation")
@@ -430,6 +442,25 @@ def main(argv=None) -> int:
 
 def _dispatch(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from . import stages
+
+    prof_dir = getattr(args, "profile", None)
+    if prof_dir:
+        import contextlib
+
+        import jax
+
+        os.makedirs(prof_dir, exist_ok=True)
+        _trace = jax.profiler.trace(prof_dir)
+    else:
+        import contextlib
+
+        _trace = contextlib.nullcontext()
+    with _trace:
+        return _dispatch_inner(args)
+
+
+def _dispatch_inner(args) -> int:
     from . import stages
 
     t0 = time.time()
@@ -814,6 +845,11 @@ def _dispatch(argv=None) -> int:
         from ..image.io import read_image, write_image
 
         img = jnp.asarray(read_image(args.input))
+        if args.inputColorSpace != "auto" and img.ndim == 3 and img.shape[-1] >= 3:
+            from ..image import colorspace as cs
+
+            rgb = cs.convert(img[..., :3], args.inputColorSpace, "linear")
+            img = jnp.concatenate([rgb, img[..., 3:]], -1) if img.shape[-1] > 3 else rgb
         if args.dcp:
             from ..utils.dcp import DCPProfile
 
@@ -836,6 +872,12 @@ def _dispatch(argv=None) -> int:
             img = ip.sharpen(img, args.sharpen)
         if args.contrast != 1.0:
             img = ip.adjust_contrast(img, args.contrast)
+        if args.outputColorSpace != "auto" and img.ndim == 3 and img.shape[-1] >= 3:
+            # the working space after --inputColorSpace is linear
+            from ..image import colorspace as cs
+
+            rgb = cs.convert(img[..., :3], "linear", args.outputColorSpace)
+            img = jnp.concatenate([rgb, img[..., 3:]], -1) if img.shape[-1] > 3 else rgb
         write_image(args.output, np.asarray(img))
     elif args.cmd == "imageSegmentation":
         import numpy as np

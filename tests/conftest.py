@@ -22,3 +22,19 @@ try:
 except Exception:
     pass
 jax.config.update("jax_threefry_partitionable", True)
+
+# Persistent compilation cache. Two reasons: (1) warm runs of the suite skip
+# nearly all XLA:CPU compilation (minutes -> seconds of compile time);
+# (2) this image's XLA:CPU JIT segfaults nondeterministically after ~10+
+# minutes of accumulated in-process compilation — cached executables keep
+# any single process well under that threshold once the cache is populated
+# (populate with scripts/populate_jax_cache.sh, which runs one process per
+# test file).
+_cache_dir = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"),
+)
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
