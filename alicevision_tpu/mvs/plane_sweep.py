@@ -52,6 +52,12 @@ class SgmParams(NamedTuple):
     # much larger depth chunks (measured on v5e: chunk 8 -> 4.5 s,
     # chunk 64 -> 0.26 s at 512x384xD128xT4).
     rect_depth_chunk: int = 64
+    # edge-aware cost aggregation: guided-filter the fused similarity
+    # volume with the reference image as guide (the separable TPU analog
+    # of the CUDA gammaC adaptive-support patch weighting, Patch.cuh:467;
+    # cost-volume filtering per Hosni et al.). 0 disables.
+    guided_radius: int = 0
+    guided_eps: float = 1e-3
 
 
 def inverse_depth_planes(d_min: float, d_max: float, n: int) -> jnp.ndarray:
@@ -379,5 +385,11 @@ def sgm_depth_map(
     cost = similarity_volume_auto(
         ref_img, t_imgs, K_ref, K_t, R_rel, t_rel, depths, params
     )
+    if params.guided_radius > 0:
+        from ..ops.guided_filter import filter_cost_volume
+
+        cost = filter_cost_volume(
+            ref_img, cost, radius=params.guided_radius, eps=params.guided_eps
+        )
     agg = sgm_aggregate(cost, ref_img, params)
     return retrieve_best_depth(agg, depths)
