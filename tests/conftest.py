@@ -38,3 +38,15 @@ os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _shed_jax_executables_between_files():
+    """Drop live compiled executables after each test file: long
+    single-process runs accumulate XLA:CPU JIT state until the runtime
+    aborts (environment bug); the persistent cache makes re-loading
+    cheap, so shedding between files costs little."""
+    yield
+    jax.clear_caches()
