@@ -136,6 +136,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True)
     p.add_argument("--minConsistent", type=int, default=3)
     p.add_argument("--downscale", type=int, default=2)
+    p.add_argument("--computeNormalMaps", action="store_true",
+                   help="write per-view normal maps from the filtered depths")
     _add_common(p)
 
     p = sub.add_parser("meshing")
@@ -511,7 +513,8 @@ def _dispatch_inner(args) -> int:
         )
     elif args.cmd == "depthMapFiltering":
         stages.depth_map_filtering(
-            args.input, args.depth, args.output, args.minConsistent, args.downscale
+            args.input, args.depth, args.output, args.minConsistent, args.downscale,
+            compute_normal_maps=args.computeNormalMaps,
         )
     elif args.cmd == "meshing":
         stages.meshing_point_cloud(

@@ -577,6 +577,7 @@ def depth_map_filtering(
     output_folder: str,
     min_consistent: int = 3,
     downscale: int = 2,
+    compute_normal_maps: bool = False,
 ) -> None:
     import jax.numpy as jnp
 
@@ -612,6 +613,19 @@ def depth_map_filtering(
     filt = np.asarray(filt)
     for i, vid in enumerate(ids):
         np.save(os.path.join(output_folder, f"{vid}_depth.npy"), filt[i])
+    if compute_normal_maps:
+        # per-view normals from the filtered depths
+        # (ref: main_depthMapFiltering.cpp:147-152 NormalMapEstimator)
+        from ..image.io import write_image
+        from ..mvs.normals import normal_map_from_depth
+
+        for i, vid in enumerate(ids):
+            n = np.asarray(
+                normal_map_from_depth(jnp.asarray(filt[i]), jnp.asarray(Ks[i]))
+            )
+            write_image(
+                os.path.join(output_folder, f"{vid}_normalMap.exr"), n
+            )
 
 
 def meshing_point_cloud(
