@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import camera as cam
 
@@ -77,3 +78,63 @@ def calibrate_distortion_from_lines(
     rms_after = jnp.sqrt(jnp.mean(r1 * r1))
     disto = jnp.zeros((cam.DISTO_PARAMS,)).at[:n_params].set(params)
     return disto, float(rms_before), float(rms_after)
+
+
+def calibrate_undistortion_from_lines(
+    line_pts,  # (G, N, 2) distorted pixel points per line
+    mask,  # (G, N) validity
+    undist,  # camera.undistortion.Undistortion — initial state (model + size)
+    free_idx=None,  # parameter indices to optimize (default: all of the model)
+    iters: int = 40,
+):
+    """Fit an Undistortion-family model (3DE lens grids) so that undistorted
+    lines are straight — the workflow of the reference's
+    aliceVision_distortionCalibration with --undistortionModelName
+    (ref: src/aliceVision/calibration/distortionEstimationLine.cpp +
+    software/pipeline/main_distortionCalibration.cpp).
+
+    Levenberg-Marquardt over the selected undistortion parameters with the
+    same differentiable point-to-fitted-line residual as the distortion path.
+    Returns (fitted Undistortion, rms_before, rms_after) in pixels.
+    """
+    from ..camera import undistortion as und
+
+    kind = int(undist.kind)
+    if free_idx is None:
+        free_idx = list(range(und.N_UNDIST_PARAMS[kind]))
+    free_idx = jnp.asarray(free_idx, jnp.int32)
+    base = jnp.asarray(undist.params)
+
+    diag = undist.half_diagonal()
+    pa = 1.0 if undist.is_desqueezed else undist.pixel_aspect_ratio
+    center = 0.5 * jnp.asarray(undist.size) + jnp.asarray(undist.offset)
+    norm = jnp.array([diag, pa * diag])
+    pts_n = (jnp.asarray(line_pts) - center) / norm
+
+    def residuals(theta):
+        p = base.at[free_idx].set(theta)
+        u = und.undistort_normalized(kind, p, undist.pixel_aspect_ratio, pts_n)
+        u_pix = u * norm + center
+        return _line_residuals(u_pix, jnp.asarray(mask)).reshape(-1)
+
+    theta = base[free_idx]
+    r0 = residuals(theta)
+    rms_before = jnp.sqrt(jnp.mean(r0 * r0))
+    n = theta.shape[0]
+
+    def step(carry, _):
+        theta, lam = carry
+        r = residuals(theta)
+        J = jax.jacfwd(residuals)(theta)
+        JtJ = J.T @ J
+        new = theta - jnp.linalg.solve(JtJ + lam * jnp.eye(n), J.T @ r)
+        better = jnp.sum(residuals(new) ** 2) < jnp.sum(r * r)
+        theta = jnp.where(better, new, theta)
+        lam = jnp.where(better, lam * 0.5, lam * 4.0).clip(1e-10, 1e6)
+        return (theta, lam), None
+
+    (theta, _), _ = jax.lax.scan(step, (theta, jnp.array(1e-4)), None, length=iters)
+    r1 = residuals(theta)
+    rms_after = jnp.sqrt(jnp.mean(r1 * r1))
+    fitted = undist._replace(params=np.asarray(base.at[free_idx].set(theta)))
+    return fitted, float(rms_before), float(rms_after)

@@ -934,6 +934,12 @@ def _setup_disto_calib(p):
                    help="corners .json from checkerboardDetection")
     p.add_argument("--output", required=True, help=".sfm with distortion")
     p.add_argument("--nbParams", type=int, default=3)
+    p.add_argument("--undistortionModelName", default="none",
+                   choices=["none", "radialk3", "3deanamorphic4",
+                            "3declassicld", "3deradial4"],
+                   help="fit an Undistortion-family (3DE) model instead of "
+                        "the RADIALK3 distortion "
+                        "(ref: main_distortionCalibration.cpp)")
 
 
 @command("distortionCalibration", _setup_disto_calib)
@@ -965,16 +971,31 @@ def _distortion_calibration(args):
     for k, ln in enumerate(lines):
         pts[k, : len(ln)] = ln
         mask[k, : len(ln)] = True
-    intr = sc.intrinsics_table(np.float64)
-    import jax.tree_util as jtu
+    if args.undistortionModelName != "none":
+        from ..calibration.distortion_lines import (
+            calibrate_undistortion_from_lines,
+        )
+        from ..camera import undistortion as und
 
-    row = jtu.tree_map(lambda a: a[0], intr)
-    disto, rms_before, rms_after = calibrate_distortion_from_lines(
-        jnp.asarray(pts), jnp.asarray(mask), row, n_params=args.nbParams
-    )
-    for i in range(sc.n_intrinsics):
-        sc.disto_kind[i] = camm.DISTO_RADIALK3
-        sc.disto[i] = np.asarray(disto)
+        kind = und.UNDIST_CODES[args.undistortionModelName]
+        w, h = int(sc.sizes[0, 0]), int(sc.sizes[0, 1])
+        init = und.Undistortion.make(kind, w, h)
+        fitted, rms_before, rms_after = calibrate_undistortion_from_lines(
+            jnp.asarray(pts), jnp.asarray(mask), init
+        )
+        for i in range(sc.n_intrinsics):
+            und.set_scene_undistortion(sc, i, fitted)
+    else:
+        intr = sc.intrinsics_table(np.float64)
+        import jax.tree_util as jtu
+
+        row = jtu.tree_map(lambda a: a[0], intr)
+        disto, rms_before, rms_after = calibrate_distortion_from_lines(
+            jnp.asarray(pts), jnp.asarray(mask), row, n_params=args.nbParams
+        )
+        for i in range(sc.n_intrinsics):
+            sc.disto_kind[i] = camm.DISTO_RADIALK3
+            sc.disto[i] = np.asarray(disto)
     sfmdata.save(sc, args.output)
     print(json.dumps({"rms_before": float(rms_before),
                       "rms_after": float(rms_after)}))
@@ -1038,6 +1059,22 @@ def _export_distortion(args):
                 undistort_stmap(row, hw=(h // s, w // s)))
         np.save(os.path.join(args.output, f"{iid}_distort_stmap.npy"),
                 distort_stmap(row, hw=(h // s, w // s)))
+        # Undistortion-family (3DE) STMaps when present
+        # (ref: main_exportDistortion.cpp undistortion branch)
+        from ..camera import undistortion as und
+
+        u = und.scene_undistortion(sc, i)
+        if u is not None:
+            hh, ww = h // s, w // s
+            scale_xy = np.array([w / ww, h / hh])
+            yy, xx = np.meshgrid(np.arange(hh), np.arange(ww), indexing="ij")
+            grid = (np.stack([xx, yy], -1).reshape(-1, 2) + 0.5) * scale_xy
+            fwd = np.asarray(und.undistort_pixels(u, grid)).reshape(hh, ww, 2)
+            inv = np.asarray(und.inverse_pixels(u, grid)).reshape(hh, ww, 2)
+            np.save(os.path.join(args.output, f"{iid}_undistortion_stmap.npy"),
+                    fwd / [w, h])
+            np.save(os.path.join(args.output, f"{iid}_undistortion_inv_stmap.npy"),
+                    inv / [w, h])
         fx, fy = sc.scale[i]
         with open(os.path.join(args.output, f"{iid}_nuke.nk"), "w") as f:
             f.write(

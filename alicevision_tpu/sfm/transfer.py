@@ -107,6 +107,11 @@ def apply_calibration(dst: SfMData, calib_path: str) -> int:
         dst.scale[i] = src.scale[i]
         dst.offset[i] = src.offset[i]
         dst.disto[i] = src.disto[i]
+        # carry the Undistortion family too (3DE lens grids — ref:
+        # main_applyCalibration.cpp copies the undistortion object)
+        ud = src.intrinsic_extra[i].get("undistortion")
+        if ud:
+            dst.intrinsic_extra[i]["undistortion"] = dict(ud)
         n += 1
     return n
 

@@ -128,6 +128,17 @@ def save_sfm(scene: SfMData, path: str, save_structure: bool = True) -> None:
             "undistortionParams": "",
             "locked": "false",
         }
+        # Undistortion family (3DE lens grids) round-trip
+        # (ref: sfmDataIO/jsonIO.cpp:204-222 — undistortionType/Offset/
+        # Diagonal/pixelAspectRatio/isDesqueezed/undistortionParams).
+        ud = scene.intrinsic_extra[i].get("undistortion")
+        if ud and ud.get("type", "none") != "none":
+            it["undistortionType"] = ud["type"]
+            it["undistortionOffset"] = _vec(ud.get("offset", [0.0, 0.0]))
+            it["undistortionParams"] = [_s(float(x)) for x in ud.get("params", [])]
+            it["undistortionDiagonal"] = _s(float(ud.get("diagonal", 0.0)))
+            it["pixelAspectRatio"] = _s(float(ud.get("pixelAspectRatio", 1.0)))
+            it["isDesqueezed"] = _s(bool(ud.get("isDesqueezed", False)))
         intrinsics.append(it)
 
     poses = []
@@ -235,6 +246,16 @@ def load_sfm(path: str) -> SfMData:
             iid, w, h, fx, ck, dk, tuple(dparams), tuple(pp), (sw, sh), focal_y_px=fy
         )
         scene.intrinsic_extra[idx]["serialNumber"] = it.get("serialNumber", "")
+        ut = it.get("undistortionType", "none")
+        if ut != "none":
+            scene.intrinsic_extra[idx]["undistortion"] = {
+                "type": ut,
+                "params": [float(x) for x in it.get("undistortionParams", []) or []],
+                "offset": [float(x) for x in it.get("undistortionOffset", [0.0, 0.0])],
+                "diagonal": float(it.get("undistortionDiagonal", 0.0)),
+                "pixelAspectRatio": float(it.get("pixelAspectRatio", 1.0)),
+                "isDesqueezed": it.get("isDesqueezed", "false") in (True, "true", "1"),
+            }
         id2idx_intr[iid] = idx
 
     id2idx_pose: dict[int, int] = {}
