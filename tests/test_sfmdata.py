@@ -103,3 +103,39 @@ def test_ply_export(tmp_path):
     assert lines[0] == "ply"
     n = sc.n_landmarks + sc.n_poses
     assert f"element vertex {n}" in "\n".join(lines[:8])
+
+
+def test_save_baf(tmp_path):
+    """BAF export matches the reference's layout: counts header, intrinsic
+    params, per-view [R col-major | C], landmark observation rows, and the
+    side-car imgList (ref: sfmDataIO/bafIO.cpp:18-102)."""
+    from alicevision_tpu import sfmdata
+
+    sc = sfmdata.SfMData.empty()
+    idx = sc.add_intrinsic(9, 100, 80, 120.0, disto_kind=1, disto_params=(0.1,))
+    v0 = sc.add_view(1, idx, 100, 80, "a.jpg")
+    v1 = sc.add_view(2, idx, 100, 80, "b.jpg")
+    R = np.eye(3); R[0, 1], R[1, 0] = 0.5, -0.5  # non-symmetric marker
+    sc.set_pose(v0, R, np.array([1.0, 2.0, 3.0]))
+    sc.set_structure(
+        points=np.array([[0.0, 0.0, 5.0]]),
+        obs_landmark=np.array([0, 0]),
+        obs_view=np.array([v0, v1]),
+        obs_uv=np.array([[10.0, 20.0], [30.0, 40.0]]),
+    )
+    p = str(tmp_path / "scene.baf")
+    sfmdata.save(sc, p)
+    lines = open(p).read().strip().split("\n")
+    assert lines[:3] == ["1", "2", "1"]
+    intr = [float(x) for x in lines[3].split()]
+    assert intr[:2] == [120.0, 120.0] and intr[4] == 0.1
+    pose0 = [float(x) for x in lines[4].split()]
+    assert len(pose0) == 12
+    assert pose0[1] == -0.5  # column-major: R[1,0] comes second
+    assert pose0[9:12] == [1.0, 2.0, 3.0]
+    pose1 = [float(x) for x in lines[5].split()]
+    assert pose1[:3] == [1.0, 0.0, 0.0] and pose1[9:] == [0.0, 0.0, 0.0]
+    lm = lines[6].split()
+    assert float(lm[2]) == 5.0 and lm[3] == "2"
+    imglist = open(str(tmp_path / "scene_imgList.txt")).read().strip().split("\n")
+    assert imglist[0].startswith("a.jpg 9 ")
