@@ -26,15 +26,17 @@ def _face_normals(V, F):
     return n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
 
 
-def assign_best_views(
+def face_view_scores(
     V, F, K, R, c, depth_maps=None, depth_tol=0.05
 ) -> np.ndarray:
-    """Best view per face by the cos/d^2 score with optional occlusion."""
+    """(n_views, F) per-face view quality — cos(angle)/d^2 with optional
+    depth-occlusion gating, -inf where a face is invisible
+    ([Waechter2014]-style scoring, ref: mesh/Texturing.cpp best-view
+    selection in generateTextures)."""
     fn = _face_normals(V, F)
     centers = V[F].mean(axis=1)  # (F, 3)
     n_views = len(K)
-    best = np.full(len(F), -1, np.int64)
-    best_score = np.full(len(F), -np.inf)
+    scores = np.full((n_views, len(F)), -np.inf)
     for v in range(n_views):
         x_cam = (R[v] @ (centers - c[v]).T).T
         z = x_cam[:, 2]
@@ -53,9 +55,17 @@ def assign_best_views(
             d = depth_maps[v][wi, ui]
             vis = (d > 0) & (np.abs(d - z) < depth_tol * np.maximum(z, 1e-6))
             score = np.where(vis, score, -np.inf)
-        upd = score > best_score
-        best[upd] = v
-        best_score[upd] = score[upd]
+        scores[v] = score
+    return scores
+
+
+def assign_best_views(
+    V, F, K, R, c, depth_maps=None, depth_tol=0.05
+) -> np.ndarray:
+    """Best view per face by the cos/d^2 score with optional occlusion."""
+    scores = face_view_scores(V, F, K, R, c, depth_maps, depth_tol)
+    best = np.argmax(scores, axis=0).astype(np.int64)
+    best[~np.isfinite(scores.max(axis=0))] = -1
     return best
 
 
@@ -156,21 +166,16 @@ def unwrap_and_pack(
     return uvs, pos
 
 
-def rasterize_atlas(
-    V, F, uvs, best_view, images, K, R, c, atlas_size: int = 1024,
-):
-    """Fill the atlas: for each face, rasterize its UV triangle and sample
-    the face's best view at the corresponding 3D points."""
-    atlas = np.zeros((atlas_size, atlas_size, 3), np.float32)
-    filled = np.zeros((atlas_size, atlas_size), bool)
+def rasterize_geometry(V, F, uvs, atlas_size: int = 1024):
+    """One geometry pass over the atlas: per-texel 3D position + face id.
+
+    Every downstream consumer (color sampling per view layer, normal/height
+    baking) reads these maps instead of re-rasterizing — the analog of the
+    reference's per-triangle texel accumulation in
+    Texturing::generateTexturesSubSet."""
+    pos = np.zeros((atlas_size, atlas_size, 3), np.float64)
+    fid = np.full((atlas_size, atlas_size), -1, np.int64)
     for fi, tri in enumerate(F):
-        v = int(best_view[fi])
-        if v < 0:
-            continue
-        img = images[v]
-        if img.ndim == 2:
-            img = np.stack([img] * 3, -1)
-        H, W = img.shape[:2]
         uv = uvs[fi] * atlas_size  # (3, 2)
         x0, y0 = np.floor(uv.min(0)).astype(int)
         x1, y1 = np.ceil(uv.max(0)).astype(int) + 1
@@ -180,7 +185,6 @@ def rasterize_atlas(
             continue
         ys, xs = np.mgrid[y0:y1, x0:x1]
         p = np.stack([xs + 0.5, ys + 0.5], -1)
-        # barycentric coords in UV space
         a, b, cc = uv[0], uv[1], uv[2]
         den = (b[1] - cc[1]) * (a[0] - cc[0]) + (cc[0] - b[0]) * (a[1] - cc[1])
         if abs(den) < 1e-12:
@@ -196,33 +200,197 @@ def rasterize_atlas(
             + l2[..., None] * V[tri[1]]
             + l3[..., None] * V[tri[2]]
         )
-        x_cam = (R[v] @ (P3.reshape(-1, 3) - c[v]).T).T.reshape(P3.shape)
-        z = np.maximum(x_cam[..., 2], 1e-6)
-        u = K[v][0, 0] * x_cam[..., 0] / z + K[v][0, 2]
-        w_ = K[v][1, 1] * x_cam[..., 1] / z + K[v][1, 2]
-        ui = np.clip(u.astype(int), 0, W - 1)
-        wi = np.clip(w_.astype(int), 0, H - 1)
-        col = img[wi, ui]
-        m = inside & ~filled[y0:y1, x0:x1]
-        atlas[y0:y1, x0:x1][m] = col[m][..., :3]
-        filled[y0:y1, x0:x1] |= inside
+        m = inside & (fid[y0:y1, x0:x1] < 0)
+        pos[y0:y1, x0:x1][m] = P3[m]
+        fid[y0:y1, x0:x1][m] = fi
+    return pos, fid
+
+
+def _bilinear(img, u, v):
+    """Host-side bilinear fetch of img (H, W[, C]) at float pixel (u, v)."""
+    H, W = img.shape[:2]
+    u = np.clip(u, 0.0, W - 1.001)
+    v = np.clip(v, 0.0, H - 1.001)
+    x0 = np.floor(u).astype(int)
+    y0 = np.floor(v).astype(int)
+    fx, fy = u - x0, v - y0
+    if img.ndim == 3:
+        fx, fy = fx[..., None], fy[..., None]
+    i00 = img[y0, x0]
+    i01 = img[y0, x0 + 1]
+    i10 = img[y0 + 1, x0]
+    i11 = img[y0 + 1, x0 + 1]
+    return (i00 * (1 - fx) * (1 - fy) + i01 * fx * (1 - fy)
+            + i10 * (1 - fx) * fy + i11 * fx * fy)
+
+
+def _sample_view(pos, texel_mask, img, Kv, Rv, cv):
+    """Project masked texel positions into one view, bilinear color fetch.
+    Returns (colors (N, 3), in_view (N,))."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, -1)
+    H, W = img.shape[:2]
+    P = pos[texel_mask]
+    x_cam = (Rv @ (P - cv).T).T
+    z = x_cam[:, 2]
+    ok = z > 1e-6
+    zs = np.where(ok, z, 1.0)
+    u = Kv[0, 0] * x_cam[:, 0] / zs + Kv[0, 2]
+    w_ = Kv[1, 1] * x_cam[:, 1] / zs + Kv[1, 2]
+    ok &= (u >= 0) & (u <= W - 1) & (w_ >= 0) & (w_ <= H - 1)
+    col = _bilinear(img, u, w_)[..., :3]
+    return col, ok
+
+
+def rasterize_atlas(
+    V, F, uvs, best_view, images, K, R, c, atlas_size: int = 1024,
+):
+    """Single-band atlas: each texel sampled from its face's best view."""
+    pos, fid = rasterize_geometry(V, F, uvs, atlas_size)
+    atlas = np.zeros((atlas_size, atlas_size, 3), np.float32)
+    filled = fid >= 0
+    texel_view = np.where(filled, np.asarray(best_view)[np.where(filled, fid, 0)], -1)
+    for v in range(len(images)):
+        m = texel_view == v
+        if not m.any():
+            continue
+        col, ok = _sample_view(pos, m, images[v], K[v], R[v], c[v])
+        idx = np.nonzero(m)
+        atlas[idx[0][ok], idx[1][ok]] = col[ok]
     return atlas, filled
+
+
+def rasterize_atlas_multiband(
+    V, F, uvs, scores, images, K, R, c,
+    atlas_size: int = 1024, top_k: int = 4, levels: int = 4,
+):
+    """Multi-band fused atlas (the reference's [Waechter2014]-style fusion,
+    Texturing::generateTextures multi-band blending).
+
+    scores: (n_views, F) per-face view quality (cos/d^2, -inf invisible).
+    The top_k best views per face are rasterized as weighted color layers;
+    the layers are fused with Laplacian-pyramid multi-band blending so low
+    frequencies blend widely across views while high frequencies keep the
+    best view's detail — removing chart seams that a hard best-view
+    assignment leaves."""
+    import jax.numpy as jnp
+
+    from ..panorama.compositing import laplacian_blend
+
+    n_views = len(images)
+    top_k = min(top_k, n_views)
+    pos, fid = rasterize_geometry(V, F, uvs, atlas_size)
+    filled = fid >= 0
+    order = np.argsort(-scores, axis=0)  # (n_views, F) view ids by rank
+    fid_safe = np.where(filled, fid, 0)
+
+    layers = np.zeros((top_k, atlas_size, atlas_size, 3), np.float32)
+    weights = np.zeros((top_k, atlas_size, atlas_size), np.float32)
+    for k in range(top_k):
+        view_of_face = order[k]  # (F,)
+        score_of_face = np.take_along_axis(
+            scores, view_of_face[None], axis=0
+        )[0]
+        texel_view = np.where(filled, view_of_face[fid_safe], -1)
+        texel_score = np.where(filled, score_of_face[fid_safe], 0.0)
+        for v in range(n_views):
+            m = texel_view == v
+            if not m.any():
+                continue
+            col, ok = _sample_view(pos, m, images[v], K[v], R[v], c[v])
+            idx = np.nonzero(m)
+            yy, xx = idx[0][ok], idx[1][ok]
+            layers[k, yy, xx] = col[ok]
+            w = np.maximum(texel_score[m][ok], 0.0)
+            weights[k, yy, xx] = np.where(np.isfinite(w), w, 0.0)
+
+    wsum = weights.sum(0)
+    has_w = wsum > 0
+    wn = np.where(has_w[None], weights / np.maximum(wsum[None], 1e-12), 0.0)
+    # give all-zero texels to layer 0 so the blend stays defined
+    wn[0] = np.where(has_w, wn[0], 1.0)
+
+    out = np.zeros((atlas_size, atlas_size, 3), np.float32)
+    for ch in range(3):
+        blended = laplacian_blend(
+            jnp.asarray(layers[..., ch]), jnp.asarray(wn), levels=levels
+        )
+        out[..., ch] = np.asarray(blended)
+    out = np.where(filled[..., None], out, 0.0)
+    return out, filled
+
+
+def bake_normal_height_maps(
+    V, F, uvs, dense_V, dense_F, atlas_size: int = 1024,
+):
+    """Bake object-space normal + signed height maps from a dense mesh onto
+    the (decimated) target mesh's UV atlas
+    (ref: mesh/Texturing.cpp _generateNormalAndHeightMaps — Geogram AABB
+    closest-point queries; here a cKDTree nearest-vertex query).
+
+    Returns (normal_map (S, S, 3) in [-1, 1], height_map (S, S), filled)."""
+    from scipy.spatial import cKDTree
+
+    pos, fid = rasterize_geometry(V, F, uvs, atlas_size)
+    filled = fid >= 0
+    dense_n = vertex_normals(dense_V, dense_F)
+    tree = cKDTree(dense_V)
+    P = pos[filled]
+    _, nearest = tree.query(P, k=1)
+    n_dense = dense_n[nearest]
+
+    # target-surface normal per texel (face normal of the coarse mesh)
+    fnorm = _face_normals(V, F)
+    n_target = fnorm[np.where(filled, fid, 0)][filled]
+    # signed height along the coarse normal to the dense surface point
+    h = np.sum((dense_V[nearest] - P) * n_target, axis=-1)
+
+    normal_map = np.zeros((atlas_size, atlas_size, 3), np.float32)
+    height_map = np.zeros((atlas_size, atlas_size), np.float32)
+    normal_map[filled] = n_dense
+    height_map[filled] = h
+    return normal_map, height_map, filled
 
 
 def generate_textured_mesh(
     V, F, images, K, R, c, out_obj: str, depth_maps=None,
     atlas_size: int = 1024, texel_per_unit: float = 64.0,
+    multiband: bool = True, top_k: int = 4, levels: int = 4,
+    bake_from_dense=None,  # optional (dense_V, dense_F) for normal/height maps
 ):
     """Full texturing: best views -> charts -> unwrap/pack -> bake -> OBJ
-    with MTL + PNG atlas (Texturing::generateTextures equivalent)."""
+    with MTL + PNG atlas (Texturing::generateTextures equivalent).
+
+    multiband=True fuses the top_k views per face with Laplacian multi-band
+    blending (the reference default, Texturing.hpp multiBandNbContrib);
+    bake_from_dense bakes object-space normal + height maps from a dense
+    mesh onto the atlas (Texturing normal/height map baking)."""
     import os
 
     from ..image.io import write_image
 
-    best = assign_best_views(V, F, K, R, c, depth_maps)
+    scores = face_view_scores(V, F, K, R, c, depth_maps)
+    best = np.argmax(scores, axis=0).astype(np.int64)
+    best[~np.isfinite(scores.max(axis=0))] = -1
     charts = build_charts(F, best)
     uvs, _ = unwrap_and_pack(V, F, charts, best, texel_per_unit, atlas_size)
-    atlas, filled = rasterize_atlas(V, F, uvs, best, images, K, R, c, atlas_size)
+    if multiband and len(images) > 1:
+        atlas, filled = rasterize_atlas_multiband(
+            V, F, uvs, scores, images, K, R, c, atlas_size, top_k, levels
+        )
+    else:
+        atlas, filled = rasterize_atlas(V, F, uvs, best, images, K, R, c, atlas_size)
+
+    if bake_from_dense is not None:
+        dense_V, dense_F = bake_from_dense
+        nmap, hmap, _ = bake_normal_height_maps(
+            V, F, uvs, dense_V, dense_F, atlas_size
+        )
+        base0 = os.path.splitext(out_obj)[0]
+        write_image(base0 + "_normals.png", 0.5 * (nmap + 1.0))
+        hn = hmap - hmap.min()
+        hn /= max(hn.max(), 1e-12)
+        write_image(base0 + "_heights.png", hn)
 
     base = os.path.splitext(out_obj)[0]
     png = base + "_atlas.png"

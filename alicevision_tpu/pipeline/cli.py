@@ -202,6 +202,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True, help="textured .obj")
     p.add_argument("--atlasSize", type=int, default=2048)
     p.add_argument("--downscale", type=int, default=2)
+    p.add_argument("--useScore", dest="multiband", action="store_true", default=True,
+                   help="multi-band top-K view fusion (reference default)")
+    p.add_argument("--noMultiband", dest="multiband", action="store_false")
+    p.add_argument("--multiBandNbContrib", type=int, default=4,
+                   help="views fused per face (ref: Texturing.hpp multiBandNbContrib)")
+    p.add_argument("--multiBandDownscale", type=int, default=4,
+                   help="pyramid levels for the multi-band blend")
+    p.add_argument("--denseMesh", default=None,
+                   help="dense .obj to bake normal/height maps from "
+                        "(ref: Texturing bump/normal map baking)")
     _add_common(p)
 
     p = sub.add_parser("panoramaEstimation")
@@ -620,9 +630,12 @@ def _dispatch_inner(args) -> int:
                 else None
             )
             dms.append(np.load(dpath) if dpath and os.path.exists(dpath) else None)
+        dense = load_obj(args.denseMesh) if args.denseMesh else None
         generate_textured_mesh(
             V, F, imgs, np.stack(Ks), np.stack(Rs), np.stack(cs), args.output,
             depth_maps=dms if args.depth else None, atlas_size=args.atlasSize,
+            multiband=args.multiband, top_k=args.multiBandNbContrib,
+            levels=args.multiBandDownscale, bake_from_dense=dense,
         )
     elif args.cmd == "panoramaEstimation":
         import numpy as np
