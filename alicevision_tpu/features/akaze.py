@@ -35,6 +35,7 @@ class AkazeConfig(NamedTuple):
     threshold: float = 1e-3  # Hessian response threshold
     sigma0: float = 1.6
     diffusivity_percentile: float = 70.0  # contrast factor k
+    descriptor: str = "msurf"  # "msurf" (64-d float) | "mldb" (486-bit binary)
 
 
 def _grad(img):
@@ -151,10 +152,41 @@ def _msurf_descriptor(L, cx, cy, sigma, angle, n_sub=4, samples=5):
     return d / jnp.linalg.norm(d).clip(1e-12)
 
 
-def extract(img: jnp.ndarray, cfg: AkazeConfig = AkazeConfig()) -> SiftFeatures:
-    """AKAZE detection + MSURF description, fixed-capacity output.
+MLDB_BITS = 486  # 3 channels x (C(4,2) + C(9,2) + C(16,2)) pair comparisons
 
-    Returns the same structure as SIFT (desc is (N, 64))."""
+
+def _mldb_descriptor(L, cx, cy, sigma, angle, G=24):
+    """486-bit M-LDB (Modified Local Difference Binary) descriptor
+    (ref: feature/akaze/descriptorMLDB.hpp — AKAZE's binary descriptor:
+    per-cell means of (intensity, dx, dy) on 2x2 / 3x3 / 4x4 grids of the
+    rotated patch, one bit per ordered cell pair per channel).
+
+    Returned as float {0, 1} of shape (486,) — for binary vectors the
+    squared-L2 matmul identity *is* the Hamming distance, so the standard
+    MXU matchers apply unchanged."""
+    spacing = 20.0 * sigma / G
+    patch = _gather_rotated_patch(L, cx, cy, spacing, angle, G)  # (G+2, G+2)
+    inner = patch[1:-1, 1:-1]  # (G, G)
+    dx = 0.5 * (patch[1:-1, 2:] - patch[1:-1, :-2])
+    dy = 0.5 * (patch[2:, 1:-1] - patch[:-2, 1:-1])
+    chans = jnp.stack([inner, dx, dy])  # (3, G, G)
+
+    bits = []
+    for g in (2, 3, 4):
+        s = G // g
+        cells = chans.reshape(3, g, s, g, s).mean(axis=(2, 4))  # (3, g, g)
+        flat = cells.reshape(3, g * g)
+        iu, ju = jnp.triu_indices(g * g, k=1)
+        cmp = flat[:, iu] > flat[:, ju]  # (3, n_pairs)
+        bits.append(cmp.reshape(-1))
+    return jnp.concatenate(bits).astype(jnp.float32)
+
+
+def extract(img: jnp.ndarray, cfg: AkazeConfig = AkazeConfig()) -> SiftFeatures:
+    """AKAZE detection + MSURF/MLDB description, fixed-capacity output.
+
+    Returns the same structure as SIFT (desc is (N, 64) float for MSURF or
+    (N, 486) binary-as-float for MLDB)."""
     octaves, sigmas, steps = build_nonlinear_scale_space(img, cfg)
     budget = max(256, cfg.max_keypoints // max(1, len(octaves)))
 
@@ -200,7 +232,10 @@ def extract(img: jnp.ndarray, cfg: AkazeConfig = AkazeConfig()) -> SiftFeatures:
         def per_kp(si, xi, yi, sg):
             Lb = gauss[si]
             theta = _orientation(Lb, xi, yi, sg)
-            d = _msurf_descriptor(Lb, xi, yi, sg, theta)
+            if cfg.descriptor == "mldb":
+                d = _mldb_descriptor(Lb, xi, yi, sg, theta)
+            else:
+                d = _msurf_descriptor(Lb, xi, yi, sg, theta)
             return theta, d
 
         theta, desc = jax.vmap(per_kp)(s_idx, x_idx, y_idx, sig_of)

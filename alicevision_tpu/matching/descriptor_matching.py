@@ -74,6 +74,53 @@ def match_bruteforce(
     )
 
 
+def match_bruteforce_hamming(
+    d1: jnp.ndarray,
+    d2: jnp.ndarray,
+    valid1: jnp.ndarray,
+    valid2: jnp.ndarray,
+    ratio: float = 0.8,
+    cross_check: bool = True,
+) -> Matches:
+    """BRUTE_FORCE_HAMMING for binary descriptors stored as {0,1} floats
+    (MLDB/AKAZE binary path — ref: matching/matcherType.hpp
+    BRUTE_FORCE_HAMMING, ArrayMatcher_bruteForce with Hamming metric).
+
+    For 0/1 vectors the squared-L2 distance equals the Hamming distance,
+    so the MXU matmul identity of match_bruteforce computes exact Hamming
+    top-2 directly — no bit packing or population counts needed on TPU.
+    The returned dist is the Hamming distance (a float count of differing
+    bits)."""
+    return match_bruteforce(d1, d2, valid1, valid2, ratio, cross_check)
+
+
+def match_ann_l2(d1, d2, valid1, valid2, ratio: float = 0.8) -> Matches:
+    """ANN_L2 — approximate NN via a host-side kd-tree
+    (ref: matching/ArrayMatcher_kdtreeFlann.hpp). Provided for method
+    parity with the reference CLI; on TPU the exact matmul matchers
+    (BRUTE_FORCE_L2 / CASCADE_HASHING_L2) are faster, so this path targets
+    CPU-only hosts driving very large descriptor sets."""
+    import numpy as np
+    from scipy.spatial import cKDTree
+
+    d1 = np.asarray(d1, np.float32)
+    d2 = np.asarray(d2, np.float32)
+    v1 = np.asarray(valid1, bool)
+    v2 = np.asarray(valid2, bool)
+    idx2 = np.nonzero(v2)[0]
+    out_idx = np.full(len(d1), -1, np.int32)
+    out_dist = np.full(len(d1), _BIG, np.float32)
+    if len(idx2) >= 2 and v1.any():
+        tree = cKDTree(d2[idx2])
+        dd, ii = tree.query(d1[v1], k=2)
+        best = idx2[ii[:, 0]]
+        ok = dd[:, 0] ** 2 < (ratio * ratio) * dd[:, 1] ** 2
+        rows = np.nonzero(v1)[0]
+        out_idx[rows[ok]] = best[ok]
+        out_dist[rows[ok]] = (dd[ok, 0] ** 2).astype(np.float32)
+    return Matches(idx2=jnp.asarray(out_idx), dist=jnp.asarray(out_dist))
+
+
 def make_hash_projection(key: jax.Array, dim: int = 128, bits: int = 128) -> jnp.ndarray:
     """Random Gaussian projection for the primary hash
     (ref: CascadeHasher.hpp:80 — 128-bit primary hash)."""

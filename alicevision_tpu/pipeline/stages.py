@@ -107,7 +107,8 @@ def feature_extraction(
     """Features per view -> <viewId>.feat.npz (plus <viewId>.<marker>.npz
     for marker describers).
 
-    describer_types is a comma list from {sift, tag16h5, cctag3} — the
+    describer_types is a comma list from {sift, dspsift, akaze, akaze_mldb,
+    tag16h5, cctag3} — the
     reference's describerTypes flag (imageDescriberCommon.hpp:19-50);
     range_start/range_size mirror the reference's chunked farm runs
     (main_featureExtraction.cpp --rangeStart/--rangeSize)."""
@@ -136,8 +137,18 @@ def feature_extraction(
             img = cv2.resize(
                 img, (int(img.shape[1] * scale), int(img.shape[0] * scale))
             )
+        feats = None
         if "sift" in types or "dspsift" in types:
             feats = extract(jnp.asarray(img, jnp.float32))
+        elif "akaze" in types or "akaze_mldb" in types:
+            from ..features import akaze
+
+            acfg = akaze.AkazeConfig(
+                max_keypoints=max_keypoints,
+                descriptor="mldb" if "akaze_mldb" in types else "msurf",
+            )
+            feats = akaze.extract(jnp.asarray(img, jnp.float32), acfg)
+        if feats is not None:
             np.savez_compressed(
                 out,
                 xy=np.asarray(feats.xy) / scale,

@@ -88,3 +88,57 @@ def test_akaze_rotation_invariance():
                 good += 1
     assert matches >= 10
     assert good >= matches * 0.6, (good, matches)
+
+
+def test_mldb_descriptor_and_hamming_matching():
+    """MLDB binary descriptors: 486 bits as {0,1} floats, matched by the
+    Hamming brute-force path (ref: feature/akaze descriptorMLDB,
+    matcherType BRUTE_FORCE_HAMMING)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from alicevision_tpu.features import akaze
+    from alicevision_tpu.matching.descriptor_matching import (
+        match_bruteforce_hamming,
+    )
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(20, 20).astype(np.float32)
+    big = np.kron(img, np.ones((8, 8), np.float32))  # 160x160 blocky texture
+    cfg = akaze.AkazeConfig(max_keypoints=256, n_octaves=2, descriptor="mldb")
+    f = akaze.extract(jnp.asarray(big), cfg)
+    assert f.desc.shape[1] == akaze.MLDB_BITS
+    d = np.asarray(f.desc)[np.asarray(f.valid)]
+    assert len(d) > 10
+    assert set(np.unique(d)).issubset({0.0, 1.0})
+    # self-matching: every valid descriptor matches itself at distance 0
+    m = match_bruteforce_hamming(f.desc, f.desc, f.valid, f.valid,
+                                 ratio=1.0, cross_check=False)
+    idx = np.asarray(m.idx2)[np.asarray(f.valid)]
+    # ties between identical descriptors allowed; check distance is 0
+    dist = np.asarray(m.dist)[np.asarray(f.valid)]
+    assert (dist < 1e-6).mean() > 0.9
+
+
+def test_ann_l2_agrees_with_bruteforce():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from alicevision_tpu.matching.descriptor_matching import (
+        match_ann_l2, match_bruteforce,
+    )
+
+    rng = np.random.RandomState(1)
+    d1 = rng.rand(40, 16).astype(np.float32)
+    d2 = np.concatenate([d1 + 0.01 * rng.randn(40, 16).astype(np.float32),
+                         rng.rand(30, 16).astype(np.float32)])
+    v1 = np.ones(40, bool)
+    v2 = np.ones(70, bool)
+    a = match_ann_l2(d1, d2, v1, v2, ratio=0.8)
+    b = match_bruteforce(jnp.asarray(d1), jnp.asarray(d2),
+                         jnp.asarray(v1), jnp.asarray(v2),
+                         ratio=0.8, cross_check=False)
+    ia, ib = np.asarray(a.idx2), np.asarray(b.idx2)
+    both = (ia >= 0) & (ib >= 0)
+    assert both.sum() > 25
+    assert (ia[both] == ib[both]).mean() > 0.95
