@@ -25,6 +25,20 @@ def make_problem(n_views=100, n_points=10000, max_track=8, seed=0):
     from alicevision_tpu.sfm import ba
     from alicevision_tpu.utils.synthetic import ring_scene
 
+    # Build the synthetic problem on the host CPU backend: construction is
+    # thousands of tiny ops, and dispatching each over the axon TPU tunnel
+    # costs ~10 min of pure latency (measured); on CPU it is ~7 s. The
+    # finished pytree is shipped to the TPU once, below.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        problem = _make_problem_on_host(
+            ba, ring_scene, jax, jnp, n_views, n_points, max_track, seed
+        )
+    return jax.tree_util.tree_map(jax.device_put, problem)
+
+
+def _make_problem_on_host(ba, ring_scene, jax, jnp, n_views, n_points,
+                          max_track, seed):
     scene = ring_scene(n_views=n_views, n_points=n_points, seed=seed, radius=8.0)
     # Pull everything host-side ONCE — per-element indexing of device arrays
     # would issue one tunnel transfer per observation.
