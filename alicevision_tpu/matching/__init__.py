@@ -6,6 +6,7 @@ from .descriptor_matching import (
     match_cascade_hash,
     matches_to_pairs,
 )
+from .hgrowing import HGrowingParams, filter_matches_hgrowing, grow_from_seeds
 from .photometric_filter import photometric_filter
 from . import voctree
 
@@ -18,4 +19,7 @@ __all__ = [
     "matches_to_pairs",
     "photometric_filter",
     "voctree",
+    "HGrowingParams",
+    "filter_matches_hgrowing",
+    "grow_from_seeds",
 ]

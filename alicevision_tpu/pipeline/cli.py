@@ -81,7 +81,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True)
     p.add_argument("--ratio", type=float, default=0.8)
     p.add_argument("--geometric", default="fundamental",
-                   choices=["fundamental", "none"])
+                   choices=["fundamental", "homography_growing", "none"])
     _add_common(p)
 
     p = sub.add_parser("incrementalSfm")

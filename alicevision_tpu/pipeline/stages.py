@@ -264,7 +264,7 @@ def feature_matching(
     pairs_file: str,
     output_matches: str,
     ratio: float = 0.8,
-    geometric: str = "fundamental",  # fundamental | essential | none
+    geometric: str = "fundamental",  # fundamental | essential | homography_growing | none
     n_ransac_hyps: int = 256,
     max_error_px: float = 4.0,
     range_start: int = 0,
@@ -302,6 +302,21 @@ def feature_matching(
         pm = dm.matches_to_pairs(m)
         if len(pm) < 8 or geometric == "none":
             out[f"{i}_{j}"] = pm
+            continue
+        if geometric == "homography_growing":
+            # multi-plane HGrowing filter (ref: matchingImageCollection/
+            # GeometricFilterMatrix_HGrowing.cpp:107-190)
+            from ..matching.hgrowing import filter_matches_hgrowing
+
+            _, _, inlier = filter_matches_hgrowing(
+                fi["xy"][pm[:, 0]],
+                fj["xy"][pm[:, 1]],
+                fi["scale"][pm[:, 0]],
+                fj["scale"][pm[:, 1]],
+                fi["orientation"][pm[:, 0]],
+                fj["orientation"][pm[:, 1]],
+            )
+            out[f"{i}_{j}"] = pm[inlier]
             continue
         x1 = jnp.asarray(fi["xy"][pm[:, 0]], jnp.float32)
         x2 = jnp.asarray(fj["xy"][pm[:, 1]], jnp.float32)
