@@ -81,22 +81,26 @@ def build_problem(
     obs_lm = np.asarray(obs_lm)
     L = len(points)
     K = max_track
+    # Fully vectorized bucketing: rank of each observation within its
+    # landmark group (stable sort + group-offset subtraction) gives the K
+    # slot directly — no Python loop over landmarks (O(L) interpreter time
+    # would dominate at ETH3D scale).
     order = np.argsort(obs_lm, kind="stable")
-    bounds = np.searchsorted(obs_lm[order], np.arange(L + 1))
+    sorted_lm = obs_lm[order]
+    bounds = np.searchsorted(sorted_lm, np.arange(L + 1))
+    slot = np.arange(len(obs_lm)) - bounds[sorted_lm]
+    keep = slot < K
+    rows = sorted_lm[keep]
+    cols = slot[keep]
+    src = order[keep]
     t_cam = np.zeros((L, K), np.int32)
     t_intr = np.zeros((L, K), np.int32)
     t_uv = np.zeros((L, K, 2), np.float32)
     t_mask = np.zeros((L, K), bool)
-    obs_cam = np.asarray(obs_cam)
-    obs_intr = np.asarray(obs_intr)
-    obs_uv = np.asarray(obs_uv)
-    for l in range(L):
-        sel = order[bounds[l] : bounds[l + 1]][:K]
-        k = len(sel)
-        t_cam[l, :k] = obs_cam[sel]
-        t_intr[l, :k] = obs_intr[sel]
-        t_uv[l, :k] = obs_uv[sel]
-        t_mask[l, :k] = True
+    t_cam[rows, cols] = np.asarray(obs_cam)[src]
+    t_intr[rows, cols] = np.asarray(obs_intr)[src]
+    t_uv[rows, cols] = np.asarray(obs_uv)[src]
+    t_mask[rows, cols] = True
     C = len(cam_c)
     return BAProblem(
         cam_q=jnp.asarray(cam_q, jnp.float32),
@@ -114,18 +118,49 @@ def build_problem(
     )
 
 
+# Above this many elements of the dense one-hot (C, K*L) the broadcast /
+# accumulation fall back to gather / scatter-add: the one-hot matmul wins by
+# ~400x for small tables (a dependent tiny-table gather costs ~4 ms on TPU),
+# but its memory is C*K*L floats, which at 1,000 cams / 300k landmarks would
+# be ~19 GB. The switch is static at trace time (shapes are static).
+_ONEHOT_BUDGET = 48 * 1024 * 1024
+
+
+def _bcast_rows(tbl, ocT):
+    """Broadcast per-camera rows tbl (C, D) to observations -> (D, K, L)."""
+    C, D = tbl.shape
+    K, L = ocT.shape
+    if C * K * L <= _ONEHOT_BUDGET:
+        oh = jax.nn.one_hot(ocT, C, dtype=tbl.dtype, axis=0).reshape(C, K * L)
+        return jax.lax.dot_general(
+            tbl.T, oh, (((1,), (0,)), ((), ())), precision="highest"
+        ).reshape(D, K, L)
+    return jnp.moveaxis(tbl[ocT], -1, 0)
+
+
+def _accum_cams(planes, ocT, C):
+    """Accumulate per-observation planes (D, K, L) into (C, D) rows.
+
+    Values must already carry the observation mask (zero where invalid)."""
+    D = planes.shape[0]
+    K, L = ocT.shape
+    flat = planes.reshape(D, K * L)
+    if C * K * L <= _ONEHOT_BUDGET:
+        oh = jax.nn.one_hot(ocT, C, dtype=planes.dtype, axis=0).reshape(C, K * L)
+        return jax.lax.dot_general(
+            oh, flat, (((1,), (1,)), ((), ())), precision="highest"
+        )
+    return jnp.zeros((C, D), planes.dtype).at[ocT.reshape(-1)].add(flat.T)
+
+
 def _residuals(problem: BAProblem, cam_q, cam_c, points):
     """r (2, K, L) only — the cheap path for cost evaluation (same
     observation-minor layout as _residuals_and_jacobians)."""
     ocT = problem.obs_cam.T  # (K, L)
     L, K = problem.obs_cam.shape
     C = cam_q.shape[0]
-    # one-hot matmul broadcast (see _residuals_and_jacobians for why)
-    ohT = jax.nn.one_hot(ocT, C, dtype=cam_q.dtype, axis=0).reshape(C, K * L)
     tblC = jnp.concatenate([quat_to_mat(cam_q).reshape(C, 9), cam_c], axis=1)
-    g = jax.lax.dot_general(
-        tblC.T, ohT, (((1,), (0,)), ((), ())), precision="highest"
-    ).reshape(12, K, L)
+    g = _bcast_rows(tblC, ocT)
     R = [g[i] for i in range(9)]
     vx = points[:, 0][None] - g[9]
     vy = points[:, 1][None] - g[10]
@@ -164,15 +199,12 @@ def _residuals_and_jacobians(problem: BAProblem, cam_q, cam_c, points):
     L, K = problem.obs_cam.shape
     C = cam_q.shape[0]
     ocT = problem.obs_cam.T  # (K, L)
-    # Broadcast per-camera values to observations with ONE one-hot matmul:
-    # a (C,)-table gather by a (K, L) index array costs ~4 ms on TPU when
-    # the table changes every LM iteration (no hoisting); the (12, C) x
-    # (C, KL) matmul is ~10 us for the same result.
-    ohT = jax.nn.one_hot(ocT, C, dtype=cam_q.dtype, axis=0).reshape(C, K * L)
+    # Broadcast per-camera values to observations — one-hot matmul for small
+    # tables (a (C,)-table gather by a (K, L) index array costs ~4 ms on TPU
+    # when the table changes every LM iteration), gather for large ones
+    # (see _ONEHOT_BUDGET).
     tblC = jnp.concatenate([quat_to_mat(cam_q).reshape(C, 9), cam_c], axis=1)
-    g = jax.lax.dot_general(
-        tblC.T, ohT, (((1,), (0,)), ((), ())), precision="highest"
-    ).reshape(12, K, L)
+    g = _bcast_rows(tblC, ocT)
     R = [g[i] for i in range(9)]  # R[3*i+j] = R_ij per observation
     vx = points[:, 0][None] - g[9]  # (K, L)
     vy = points[:, 1][None] - g[10]
@@ -301,19 +333,29 @@ def _chol3_c(a, b, c, d, e, f):
     return l11, l21, l31, l22, l32, l33
 
 
-def _schur_solve(problem, r, Jc, Jl, lam):
-    """One damped Schur step: returns (dx_cam (C,6), dx_pt (L,3)).
+class _SchurParts(NamedTuple):
+    """Shared Schur-elimination pieces, observation-minor layout."""
 
-    Inputs are in the observation-minor layout of _residuals_and_jacobians:
-    r (2,K,L), Jc (2,6,K,L), Jl (2,3,K,L). All per-landmark block algebra
-    (V, W, the chol(V^-1) elimination) is componentwise VPU math over
-    (K, L) planes — the K=8 sublane / L-lane tiling is exact, where the
-    old (L,K,3,3) layout padded every trailing 3 to 128 lanes. The reduced
-    camera system is assembled with MXU matmuls: camera diagonal blocks
-    and gradients come from one-hot contractions over the observation
-    plane, and the off-diagonal Schur term uses the factorization
-    W V^-1 W^T = (W Vh)(W Vh)^T with Vh = chol(V^-1), so S_off = -B B^T
-    is one (6C, 3KL)-contraction — symmetric PSD by construction.
+    ocT: jnp.ndarray  # (K, L) camera index per observation
+    g_c: jnp.ndarray  # (C, 6) camera gradient
+    b: jnp.ndarray  # (C, 6) reduced RHS
+    U_d: jnp.ndarray  # (C, 6, 6) damped camera diagonal blocks
+    Vi: tuple  # 6 components of V^-1, each (L,)
+    Vh: tuple  # (l11,l21,l31,l22,l32,l33) of chol(V^-1), each (L,)
+    W: list  # 6x3 lists of (K, L) planes
+    Y: list  # 6x3 lists of (K, L) planes, Y = W chol(V^-1)
+    g_l: list  # 3 x (L,) landmark gradient
+
+
+def _schur_prelude(problem, r, Jc, Jl, lam) -> _SchurParts:
+    """Eliminate the landmark blocks and build everything both reduced-camera
+    solvers share.
+
+    All per-landmark block algebra (V, W, the chol(V^-1) elimination) is
+    componentwise VPU math over (K, L) planes — the K=8 sublane / L-lane
+    tiling is exact, where an (L,K,3,3) layout would pad every trailing 3 to
+    128 lanes. Per-camera reductions go through _accum_cams (MXU one-hot
+    contraction for small tables, scatter-add for large ones).
     """
     L, K = problem.obs_mask.shape
     C = problem.cam_q.shape[0]
@@ -333,33 +375,21 @@ def _schur_solve(problem, r, Jc, Jl, lam):
         return jnp.sum(x[0] * y[0] + x[1] * y[1], axis=0)
 
     Jl_c = [[Jl[r_, i] for i in range(3)] for r_ in range(2)]  # (K, L) planes
-    Jc_c = [[Jc[r_, i] for i in range(6)] for r_ in range(2)]
     JlT = lambda i: (Jl_c[0][i], Jl_c[1][i])
-    JcT = lambda i: (Jc_c[0][i], Jc_c[1][i])
     V = {}
     for i in range(3):
         for j in range(i, 3):
             V[(i, j)] = dotk(JlT(i), JlT(j))
     g_l = [-jnp.sum(Jl[:, i] * r, axis=(0, 1)) for i in range(3)]  # 3 x (L,)
 
-    # Per-camera blocks via one-hot contractions over the (K, L) plane.
-    onehotT = (jax.nn.one_hot(ocT, C, dtype=r.dtype, axis=0) * mT).reshape(
-        C, K * L
-    )  # (C, KL)
-    # U: 21 unique components of J_c^T J_c per camera.
+    # U: 21 unique components of J_c^T J_c per camera; g_c.
     iu = [(i, j) for i in range(6) for j in range(i, 6)]
     JJ = jnp.stack(
-        [(Jc[0, i] * Jc[0, j] + Jc[1, i] * Jc[1, j]).reshape(K * L) for i, j in iu]
-    )  # (21, KL)
-    Ucomp = jax.lax.dot_general(
-        onehotT, JJ, (((1,), (1,)), ((), ())), precision="highest"
-    )  # (C, 21)
-    Jr = jnp.stack(
-        [(Jc[0, i] * r[0] + Jc[1, i] * r[1]).reshape(K * L) for i in range(6)]
-    )  # (6, KL)
-    g_c = -jax.lax.dot_general(
-        onehotT, Jr, (((1,), (1,)), ((), ())), precision="highest"
-    )  # (C, 6)
+        [Jc[0, i] * Jc[0, j] + Jc[1, i] * Jc[1, j] for i, j in iu]
+    )  # (21, K, L)
+    Ucomp = _accum_cams(JJ, ocT, C)  # (C, 21)
+    Jr = jnp.stack([Jc[0, i] * r[0] + Jc[1, i] * r[1] for i in range(6)])
+    g_c = -_accum_cams(Jr, ocT, C)  # (C, 6)
     U = jnp.zeros((C, 6, 6), r.dtype)
     for n, (i, j) in enumerate(iu):
         U = U.at[:, i, j].set(Ucomp[:, n])
@@ -379,7 +409,6 @@ def _schur_solve(problem, r, Jc, Jl, lam):
         Vd[(0, 0)], Vd[(0, 1)], Vd[(0, 2)], Vd[(1, 1)], Vd[(1, 2)], Vd[(2, 2)]
     )
     l11, l21, l31, l22, l32, l33 = _chol3_c(*Vi)  # V^-1 = Vh Vh^T (lower)
-    Vh = [[l11, None, None], [l21, l22, None], [l31, l32, l33]]
 
     # W (6x3 per obs): W[i][h] = sum_r Jc[r,i] * Jl[r,h]  (K, L) planes.
     W = [
@@ -396,19 +425,7 @@ def _schur_solve(problem, r, Jc, Jl, lam):
         for i in range(6)
     ]
 
-    # S_off = -B B^T with B[(c,i), (h,l)] = sum_k onehot * Y[i][h].
-    Y18 = jnp.stack([Y[i][h] for i in range(6) for h in range(3)])  # (18,K,L)
-    oh_kl = onehotT.reshape(C, K, L)
-    # output order cihl => Bm is a pure reshape, no relayout
-    B = jnp.einsum("ckl,dkl->cdl", oh_kl, Y18, precision="highest")
-    Bm = B.reshape(C * 6, 3 * L)
-    S_off = -jax.lax.dot_general(
-        Bm, Bm, (((1,), (1,)), ((), ())), precision="highest"
-    )
-    D = jnp.einsum("cd,cij->cidj", jnp.eye(C, dtype=r.dtype), U_d)
-    S_mat = S_off + D.reshape(C * 6, C * 6)
-
-    # RHS: b = g_c - sum_lk onehot * (Y (Vh^T g_l)).
+    # RHS: b = g_c - sum_lk accum(Y (Vh^T g_l)).
     gls = [
         l11 * g_l[0] + l21 * g_l[1] + l31 * g_l[2],
         l22 * g_l[1] + l32 * g_l[2],
@@ -416,35 +433,39 @@ def _schur_solve(problem, r, Jc, Jl, lam):
     ]  # (L,) each — Vh^T g_l
     corr = jnp.stack(
         [
-            (Y[i][0] * gls[0][None] + Y[i][1] * gls[1][None] + Y[i][2] * gls[2][None]).reshape(K * L)
+            Y[i][0] * gls[0][None] + Y[i][1] * gls[1][None] + Y[i][2] * gls[2][None]
             for i in range(6)
         ]
-    )  # (6, KL)
-    b = g_c - jax.lax.dot_general(
-        onehotT, corr, (((1,), (1,)), ((), ())), precision="highest"
+    )  # (6, K, L)
+    b = g_c - _accum_cams(corr, ocT, C)
+
+    return _SchurParts(
+        ocT=ocT,
+        g_c=g_c,
+        b=b,
+        U_d=U_d,
+        Vi=Vi,
+        Vh=(l11, l21, l31, l22, l32, l33),
+        W=W,
+        Y=Y,
+        g_l=g_l,
     )
 
-    # Dense solve of the reduced camera system (6C x 6C).
-    dx_cam = jax.scipy.linalg.solve(
-        S_mat + 1e-8 * jnp.eye(C * 6, dtype=r.dtype),
-        b.reshape(C * 6),
-        assume_a="pos",
-    ).reshape(C, 6)
 
-    # Back-substitute landmarks: dx_l = V^-1 (g_l - sum_k W^T dx_cam).
-    # NB: dx_cam.T[i][ocT] gathers cost ~4 ms here (tiny-table gather after
-    # a dependent solve defeats the TPU gather lowering); the one-hot
-    # matmul is ~10 us for identical math.
-    dxc = jax.lax.dot_general(
-        dx_cam.T, onehotT, (((1,), (0,)), ((), ())), precision="highest"
-    ).reshape(6, K, L)
+def _back_substitute(parts: _SchurParts, dx_cam):
+    """dx_l = V^-1 (g_l - sum_k W^T dx_cam) given the camera step."""
+    # NB small tables: dx_cam.T[i][ocT] gathers cost ~4 ms (tiny-table
+    # gather after a dependent solve defeats the TPU gather lowering); the
+    # one-hot matmul is ~10 us for identical math. _bcast_rows switches.
+    dxc = _bcast_rows(dx_cam, parts.ocT)  # (6, K, L)
+    W, Vi, g_l = parts.W, parts.Vi, parts.g_l
     t = [
         jnp.sum(sum(W[i][h] * dxc[i] for i in range(6)), axis=0)
         for h in range(3)
     ]  # 3 x (L,)
     rhs = [g_l[h] - t[h] for h in range(3)]
     ia, ib, ic, id_, ie, if_ = Vi
-    dx_pt = jnp.stack(
+    return jnp.stack(
         [
             ia * rhs[0] + ib * rhs[1] + ic * rhs[2],
             ib * rhs[0] + id_ * rhs[1] + ie * rhs[2],
@@ -452,6 +473,124 @@ def _schur_solve(problem, r, Jc, Jl, lam):
         ],
         axis=-1,
     )  # (L, 3)
+
+
+def _schur_solve(problem, r, Jc, Jl, lam):
+    """One damped Schur step via DENSE solve: (dx_cam (C,6), dx_pt (L,3)).
+
+    The off-diagonal Schur term uses the factorization
+    W V^-1 W^T = (W Vh)(W Vh)^T with Vh = chol(V^-1), so S_off = -B B^T is
+    one (6C, 3KL)-contraction — symmetric PSD by construction. Suitable up
+    to a few hundred cameras (ref: DENSE_SCHUR below 100 poses,
+    BundleAdjustmentCeres.cpp:216-231); above that B is ~6C*3L floats and
+    _schur_solve_pcg avoids materializing it.
+    """
+    L, K = problem.obs_mask.shape
+    C = problem.cam_q.shape[0]
+    parts = _schur_prelude(problem, r, Jc, Jl, lam)
+
+    # S_off = -B B^T with B[(c,i), (h,l)] = sum_k onehot * Y[i][h].
+    Y18 = jnp.stack(
+        [parts.Y[i][h] for i in range(6) for h in range(3)]
+    )  # (18,K,L)
+    oh_kl = jax.nn.one_hot(parts.ocT, C, dtype=r.dtype, axis=0)  # (C, K, L)
+    # output order cihl => Bm is a pure reshape, no relayout
+    B = jnp.einsum("ckl,dkl->cdl", oh_kl, Y18, precision="highest")
+    Bm = B.reshape(C * 6, 3 * L)
+    S_off = -jax.lax.dot_general(
+        Bm, Bm, (((1,), (1,)), ((), ())), precision="highest"
+    )
+    D = jnp.einsum("cd,cij->cidj", jnp.eye(C, dtype=r.dtype), parts.U_d)
+    S_mat = S_off + D.reshape(C * 6, C * 6)
+
+    # Dense solve of the reduced camera system (6C x 6C).
+    dx_cam = jax.scipy.linalg.solve(
+        S_mat + 1e-8 * jnp.eye(C * 6, dtype=r.dtype),
+        parts.b.reshape(C * 6),
+        assume_a="pos",
+    ).reshape(C, 6)
+
+    dx_pt = _back_substitute(parts, dx_cam)
+    return dx_cam, dx_pt
+
+
+def _schur_solve_pcg(problem, r, Jc, Jl, lam, cg_iters: int = 100,
+                     cg_tol: float = 1e-2):
+    """Matrix-free PCG on the reduced camera system S dx = b.
+
+    Never materializes S (6C x 6C) or the (6C, 3L) elimination factor B —
+    each matvec streams the observation table twice (broadcast + scatter),
+    so memory stays O(K*L) planes regardless of camera count. This is the
+    large-scene analog of the reference's ITERATIVE_SCHUR / SPARSE_SCHUR
+    switch (BundleAdjustmentCeres.cpp:216-231), with the SCHUR_JACOBI
+    block-diagonal preconditioner: because a landmark observes each camera
+    at most once, diag_c(S) = U_d[c] - sum_{l,k: cam=c} Y_lk Y_lk^T exactly
+    (no cross-observation pairs hit the same diagonal block).
+    """
+    L, K = problem.obs_mask.shape
+    C = problem.cam_q.shape[0]
+    parts = _schur_prelude(problem, r, Jc, Jl, lam)
+    Y, U_d, ocT = parts.Y, parts.U_d, parts.ocT
+
+    # SCHUR_JACOBI preconditioner: exact diagonal blocks of S.
+    iu = [(i, j) for i in range(6) for j in range(i, 6)]
+    YY = jnp.stack(
+        [sum(Y[i][h] * Y[j][h] for h in range(3)) for i, j in iu]
+    )  # (21, K, L)
+    YYc = _accum_cams(YY, ocT, C)  # (C, 21)
+    Sd = U_d
+    for n, (i, j) in enumerate(iu):
+        Sd = Sd.at[:, i, j].add(-YYc[:, n])
+        if i != j:
+            Sd = Sd.at[:, j, i].add(-YYc[:, n])
+    Sd = Sd + 1e-8 * jnp.eye(6, dtype=r.dtype)
+    Minv = jnp.linalg.inv(Sd)  # (C, 6, 6) batched tiny inverses
+
+    def S_apply(x):  # x: (C, 6)
+        ux = jnp.einsum("cij,cj->ci", U_d, x, precision="highest")
+        xo = _bcast_rows(x, ocT)  # (6, K, L)
+        # th[h] = sum_{k,i} Y[i][h] * x_obs[i]  per landmark
+        th = [
+            jnp.sum(sum(Y[i][h] * xo[i] for i in range(6)), axis=0)
+            for h in range(3)
+        ]  # 3 x (L,)
+        corr = jnp.stack(
+            [
+                Y[i][0] * th[0][None]
+                + Y[i][1] * th[1][None]
+                + Y[i][2] * th[2][None]
+                for i in range(6)
+            ]
+        )  # (6, K, L)
+        return ux - _accum_cams(corr, ocT, C)
+
+    def M_apply(v):
+        return jnp.einsum("cij,cj->ci", Minv, v, precision="highest")
+
+    b = parts.b
+    bnorm2 = jnp.sum(b * b)
+    tol2 = (cg_tol * cg_tol) * bnorm2 + 1e-30
+
+    def cond(state):
+        _, res, _, _, it = state
+        return (jnp.sum(res * res) > tol2) & (it < cg_iters)
+
+    def body(state):
+        x, res, z, p, it = state
+        Sp = S_apply(p)
+        rz = jnp.sum(res * z)
+        alpha = rz / jnp.sum(p * Sp).clip(_EPS)
+        x = x + alpha * p
+        res_n = res - alpha * Sp
+        z_n = M_apply(res_n)
+        beta = jnp.sum(res_n * z_n) / rz.clip(_EPS)
+        return (x, res_n, z_n, p * beta + z_n, it + 1)
+
+    x0 = jnp.zeros_like(b)
+    z0 = M_apply(b)
+    dx_cam, *_ = jax.lax.while_loop(cond, body, (x0, b, z0, z0, jnp.int32(0)))
+
+    dx_pt = _back_substitute(parts, dx_cam)
     return dx_cam, dx_pt
 
 
@@ -464,6 +603,13 @@ def _cost(problem, cam_q, cam_c, points, huber_delta):
     return jnp.sum(jnp.where(problem.obs_mask.T, rho, 0.0))
 
 
+# Cameras above which ba_solve(solver="auto") switches from the dense
+# reduced-camera solve to matrix-free PCG. The reference flips DENSE_SCHUR
+# -> SPARSE_SCHUR at 100 poses (BundleAdjustmentCeres.cpp:216-231); our
+# dense MXU solve stays profitable somewhat longer.
+_DENSE_SCHUR_MAX_CAMS = 192
+
+
 def ba_solve(
     problem: BAProblem,
     max_iters: int = 30,
@@ -472,9 +618,33 @@ def ba_solve(
     lam_up: float = 4.0,
     lam_down: float = 0.25,
     rtol: float = 1e-6,
+    solver: str = "auto",
+    cg_iters: int = 100,
+    cg_tol: float = 1e-2,
 ) -> BAResult:
     """Run the LM loop fully under jit. Shapes are static; iteration count is
-    bounded by max_iters with converged iterations becoming no-ops."""
+    bounded by max_iters with converged iterations becoming no-ops.
+
+    solver: "dense" (explicit 6Cx6C Cholesky), "pcg" (matrix-free
+    preconditioned CG — O(K*L) memory, for large scenes), or "auto" (pick by
+    camera count / elimination-factor size, static at trace time)."""
+
+    C = problem.cam_q.shape[0]
+    L = problem.points.shape[0]
+    if solver == "auto":
+        # B is (6C, 3L) f32 in the dense path; cap it at ~1.5 GB.
+        b_bytes = 6 * C * 3 * L * 4
+        solver = (
+            "dense"
+            if C <= _DENSE_SCHUR_MAX_CAMS and b_bytes <= (3 << 29)
+            else "pcg"
+        )
+    if solver == "dense":
+        schur = _schur_solve
+    elif solver == "pcg":
+        schur = lambda *a: _schur_solve_pcg(*a, cg_iters=cg_iters, cg_tol=cg_tol)
+    else:
+        raise ValueError(f"unknown solver {solver!r}")
 
     huber = jnp.float32(huber_delta_px)
     cost0 = _cost(problem, problem.cam_q, problem.cam_c, problem.points, huber)
@@ -488,7 +658,7 @@ def ba_solve(
         rw = r * w
         Jcw = Jc * w
         Jlw = Jl * w
-        dx_cam, dx_pt = _schur_solve(problem, rw, Jcw, Jlw, lam)
+        dx_cam, dx_pt = schur(problem, rw, Jcw, Jlw, lam)
 
         dq = so3_exp(dx_cam[:, 0:3])
         q_new = _quat_premul_mat(dq, q)

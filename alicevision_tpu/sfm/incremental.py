@@ -61,6 +61,21 @@ class IncrementalConfig:
     # pairs voted by the whole track, masked N-view refit on the inliers.
     # Costs one extra batched pass; worthwhile when matches carry outliers.
     robust_triangulation: bool = False
+    # Pyramid-coverage scoring (ref: computeCandidateImageScore,
+    # ReconstructionEngine_sequentialSfM.cpp:1453-1473; params .hpp:75-76):
+    # score = sum over levels of (#distinct occupied grid cells) * 2^(D-1-l)
+    # with grid width base^(l+1). Rewards spatial spread, not raw counts.
+    pyramid_base: int = 2
+    pyramid_depth: int = 5
+    # Refine the shared intrinsics (focal/pp/disto) whenever the posed-view
+    # count doubles (ref refines intrinsics inside every Ceres BA,
+    # BundleAdjustment.hpp REFINE_INTRINSICS_*; doubling cadence bounds the
+    # extra cost while still correcting early focal error).
+    refine_intrinsics: bool = True
+    # Initial pair: try the top-N candidate pairs and keep the best
+    # angle x coverage score (ref: best-pair selection at .cpp:1414-1424)
+    # instead of first-success.
+    init_pair_candidates: int = 10
 
 
 class IncrementalResult:
@@ -112,20 +127,43 @@ class IncrementalSfM:
             cam.remove_distortion(intr_rows.disto_kind, intr_rows.disto, p)
         )
 
-        # (T, K) bucketed table of observation indices.
+        # (T, K) bucketed table of observation indices — vectorized ranking
+        # (stable sort + group-offset subtraction; a Python loop over tracks
+        # is minutes of interpreter time at ETH3D scale).
         K = config.max_track_obs
         order = np.argsort(self.obs_track, kind="stable")
-        bounds = np.searchsorted(self.obs_track[order], np.arange(self.T + 1))
+        sorted_t = self.obs_track[order]
+        bounds = np.searchsorted(sorted_t, np.arange(self.T + 1))
+        slot = np.arange(O) - bounds[sorted_t]
+        keep = slot < K
         self.tbl_obs = np.zeros((self.T, K), np.int64)
         self.tbl_mask = np.zeros((self.T, K), bool)
-        for t in range(self.T):
-            sel = order[bounds[t] : bounds[t + 1]][:K]
-            self.tbl_obs[t, : len(sel)] = sel
-            self.tbl_mask[t, : len(sel)] = True
+        self.tbl_obs[sorted_t[keep], slot[keep]] = order[keep]
+        self.tbl_mask[sorted_t[keep], slot[keep]] = True
         self.tbl_view = np.where(self.tbl_mask, self.obs_view[self.tbl_obs], 0)
 
-        # per-view list of observations (for resection/scoring)
-        self.view_obs = [np.nonzero(self.obs_view == v)[0] for v in range(self.n_views)]
+        # per-view list of observations (for resection/scoring) — one sort,
+        # then split (O(V * O) nonzero scans would dominate at scale).
+        vorder = np.argsort(self.obs_view, kind="stable")
+        vbounds = np.searchsorted(self.obs_view[vorder], np.arange(self.n_views + 1))
+        self.view_obs = [
+            vorder[vbounds[v] : vbounds[v + 1]] for v in range(self.n_views)
+        ]
+
+        # Per-observation pyramid cell index at each level (for the
+        # coverage score): cell = col + width * row on a width x width grid
+        # over the image, width = base^(level+1).
+        D = config.pyramid_depth
+        wh = self.image_sizes[self.obs_view].astype(np.float64)  # (O, 2)
+        self.pyr_cells = np.zeros((O, D), np.int32)
+        self.pyr_ncells = np.zeros(D, np.int64)
+        for lvl in range(D):
+            width = config.pyramid_base ** (lvl + 1)
+            cx = np.clip((self.obs_uv[:, 0] * width / wh[:, 0]).astype(np.int64), 0, width - 1)
+            cy = np.clip((self.obs_uv[:, 1] * width / wh[:, 1]).astype(np.int64), 0, width - 1)
+            self.pyr_cells[:, lvl] = cx + width * cy
+            self.pyr_ncells[lvl] = width * width
+        self.pyr_weights = 2.0 ** (D - 1 - np.arange(D))
 
         # state
         self.res = IncrementalResult(self.n_views)
@@ -148,18 +186,35 @@ class IncrementalSfM:
     # Initial pair
     # ------------------------------------------------------------------
     def candidate_pairs(self, top: int = 20):
-        """Pairs ranked by number of common tracks."""
-        from collections import Counter
+        """Pairs ranked by number of common tracks (vectorized over the
+        (T, K) table: K*(K-1)/2 slot pairs, encoded keys, one unique)."""
+        K = self.cfg.max_track_obs
+        keys = []
+        V = self.n_views
+        for i in range(K):
+            for j in range(i + 1, K):
+                m = self.tbl_mask[:, i] & self.tbl_mask[:, j]
+                if not m.any():
+                    continue
+                vi = self.tbl_view[m, i].astype(np.int64)
+                vj = self.tbl_view[m, j].astype(np.int64)
+                lo = np.minimum(vi, vj)
+                hi = np.maximum(vi, vj)
+                keys.append(lo * V + hi)
+        if not keys:
+            return []
+        uniq, counts = np.unique(np.concatenate(keys), return_counts=True)
+        order = np.argsort(-counts)[:top]
+        return [(int(k // V), int(k % V)) for k in uniq[order]]
 
-        cnt = Counter()
-        # count via per-track view pairs (K small)
-        for t in range(self.T):
-            vs = self.tbl_view[t][self.tbl_mask[t]]
-            vs = np.sort(vs)
-            for i in range(len(vs)):
-                for j in range(i + 1, len(vs)):
-                    cnt[(int(vs[i]), int(vs[j]))] += 1
-        return [p for p, _ in cnt.most_common(top)]
+    def _pair_coverage_score(self, view, obs_idx):
+        """Pyramid coverage score of a view restricted to given observation
+        rows (ref: computeCandidateImageScore .cpp:1453-1473)."""
+        cells = self.pyr_cells[obs_idx]  # (n, D)
+        score = 0.0
+        for lvl in range(self.cfg.pyramid_depth):
+            score += len(np.unique(cells[:, lvl])) * self.pyr_weights[lvl]
+        return score
 
     def _pair_obs(self, vi, vj):
         """Common tracks and their normalized obs in the two views."""
@@ -170,11 +225,16 @@ class IncrementalSfM:
         common, ii, jj = np.intersect1d(ti, tj, return_indices=True)
         return common, oi[ii], oj[jj]
 
-    def try_initial_pair(self, vi: int, vj: int) -> bool:
+    def _evaluate_initial_pair(self, vi: int, vj: int):
+        """Robust relative pose + baseline/coverage score for one candidate
+        pair. Returns (score, commit_payload) or None if the pair fails the
+        hard gates (ref: pair scoring at .cpp:1414-1424 — score =
+        angle_score * min(coverage_i, coverage_j), negative outside the
+        reasonable-angle window)."""
         cfg = self.cfg
         common, oi, oj = self._pair_obs(vi, vj)
         if len(common) < cfg.min_pts_init:
-            return False
+            return None
         x1 = jnp.asarray(self.obs_norm[oi])
         x2 = jnp.asarray(self.obs_norm[oj])
         R, t, rm = robust.robust_relative_pose(
@@ -183,7 +243,7 @@ class IncrementalSfM:
         )
         inl = np.asarray(rm.inliers)
         if inl.sum() < cfg.min_pts_init:
-            return False
+            return None
 
         # Triangulate inliers, check median angle (baseline gate).
         P1 = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
@@ -199,40 +259,91 @@ class IncrementalSfM:
         )
         ang = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
         good = inl & (X[:, 2] > 0) & (ang > 0.5)
-        if good.sum() < cfg.min_pts_init or np.median(ang[good]) < cfg.min_angle_init_deg:
-            return False
+        if good.sum() < cfg.min_pts_init:
+            return None
+        med_ang = float(np.median(ang[good]))
+        if med_ang < cfg.min_angle_init_deg:
+            return None
+        coverage = min(
+            self._pair_coverage_score(vi, oi[good]),
+            self._pair_coverage_score(vj, oj[good]),
+        )
+        # reasonable-angle window: reward mid-range baselines, keep ordering
+        # for extreme ones (ref uses [min_angle; 40 deg] then negates).
+        angle_score = med_ang if med_ang <= 40.0 else max(80.0 - med_ang, 1.0)
+        score = angle_score * coverage
+        payload = (vi, vj, np.asarray(R), c2, common[good], X[good])
+        return score, payload
 
-        # Commit: first camera at identity.
+    def _commit_initial_pair(self, vi, vj, R, c2, track_ids, X):
         self.res.pose_R[vi] = np.eye(3)
         self.res.pose_c[vi] = 0.0
-        self.res.pose_R[vj] = np.asarray(R)
+        self.res.pose_R[vj] = R
         self.res.pose_c[vj] = c2
         self.res.posed[[vi, vj]] = True
-        self.res.points[common[good]] = X[good]
-        self.res.point_valid[common[good]] = True
-        self.res.history.append(("init", vi, vj, int(good.sum())))
+        self.res.points[track_ids] = X
+        self.res.point_valid[track_ids] = True
+        self.res.history.append(("init", vi, vj, len(track_ids)))
+
+    def try_initial_pair(self, vi: int, vj: int) -> bool:
+        ev = self._evaluate_initial_pair(vi, vj)
+        if ev is None:
+            return False
+        self._commit_initial_pair(*ev[1])
         return True
 
     def initialize(self) -> bool:
-        for vi, vj in self.candidate_pairs():
-            if self.try_initial_pair(vi, vj):
-                return True
-        return False
+        """Rank the top candidate pairs by angle x coverage and commit the
+        best, rather than the first that passes the gates."""
+        best = None
+        for vi, vj in self.candidate_pairs(top=self.cfg.init_pair_candidates):
+            ev = self._evaluate_initial_pair(vi, vj)
+            if ev is not None and (best is None or ev[0] > best[0]):
+                best = ev
+        if best is None:
+            return False
+        self._commit_initial_pair(*best[1])
+        return True
 
     # ------------------------------------------------------------------
     # Resection
     # ------------------------------------------------------------------
     def view_scores(self):
-        """Per unposed view: number of observations of valid tracks
-        (the image-score of findNextBestViews, simplified from the pyramid
-        weighting of .cpp:233-251)."""
-        scores = np.zeros(self.n_views, np.int64)
-        for v in range(self.n_views):
-            if self.res.posed[v]:
-                continue
-            tr = self.obs_track[self.view_obs[v]]
-            scores[v] = self.res.point_valid[tr].sum()
+        """Per unposed view: pyramid-coverage score over observations of
+        valid tracks (findNextBestViews image score,
+        ref .cpp:1453-1473 computeCandidateImageScore + weights :233-251).
+        Vectorized: one unique() over encoded (view, level, cell) keys."""
+        D = self.cfg.pyramid_depth
+        usable = (
+            self.res.point_valid[self.obs_track]
+            & ~self.res.posed[self.obs_view]
+            & self.obs_inlier
+        )
+        idx = np.nonzero(usable)[0]
+        scores = np.zeros(self.n_views, np.float64)
+        if len(idx) == 0:
+            return scores
+        views = self.obs_view[idx].astype(np.int64)
+        max_cells = int(self.pyr_ncells.max())
+        for lvl in range(D):
+            keys = views * max_cells + self.pyr_cells[idx, lvl]
+            uniq = np.unique(keys)
+            np.add.at(scores, uniq // max_cells, self.pyr_weights[lvl])
+        # require a minimal usable-track count regardless of coverage
+        counts = np.bincount(views, minlength=self.n_views)
+        scores[counts < self.cfg.min_track_inliers_resection] = 0.0
         return scores
+
+    def view_usable_counts(self):
+        """Per unposed view: number of observations of valid tracks."""
+        usable = (
+            self.res.point_valid[self.obs_track]
+            & ~self.res.posed[self.obs_view]
+            & self.obs_inlier
+        )
+        return np.bincount(
+            self.obs_view[usable], minlength=self.n_views
+        ).astype(np.int64)
 
     def resect_view(self, v: int) -> bool:
         cfg = self.cfg
@@ -302,20 +413,82 @@ class IncrementalSfM:
         self.res.points[ok] = X[ok]
         self.res.point_valid = ok
 
+    def triangulate_tracks(self, track_ids):
+        """Incremental triangulation: only the given tracks, padded to a
+        power-of-two bucket so repeated calls hit a handful of XLA traces.
+
+        The reference's triangulate() also touches only tracks seeing the
+        newly resected views (ReconstructionEngine_sequentialSfM.cpp) —
+        re-triangulating the full table per group is O(T*V) total work.
+        """
+        cfg = self.cfg
+        track_ids = np.asarray(track_ids, np.int64)
+        if len(track_ids) == 0:
+            return
+        S = len(track_ids)
+        cap = 1 << int(np.ceil(np.log2(max(S, 64))))
+        sel = np.zeros(cap, np.int64)
+        sel[:S] = track_ids
+        m = (
+            self.tbl_mask[sel]
+            & self.res.posed[self.tbl_view[sel]]
+            & self.obs_inlier[self.tbl_obs[sel]]
+        )
+        m[S:] = False
+        enough = m.sum(1) >= 2
+
+        P = np.zeros((self.n_views, 3, 4), np.float32)
+        P[:, :3, :3] = self.res.pose_R
+        P[:, :, 3] = -np.einsum("vij,vj->vi", self.res.pose_R, self.res.pose_c)
+        tv = self.tbl_view[sel]
+        gate = _triangulate_gated_robust if cfg.robust_triangulation else _triangulate_gated
+        X = np.asarray(
+            gate(
+                jnp.asarray(P[tv]),
+                jnp.asarray(self.obs_norm[self.tbl_obs[sel]], jnp.float32),
+                jnp.asarray(m),
+                jnp.asarray(self.res.pose_c[tv], jnp.float32),
+                cfg.max_reproj_px / self._focal_mean,
+                np.radians(cfg.min_angle_deg),
+            )
+        )
+        ok = (np.isfinite(X).all(axis=1) & enough)[:S]
+        good_ids = track_ids[ok]
+        self.res.points[good_ids] = X[:S][ok]
+        self.res.point_valid[track_ids] = ok
+
     # ------------------------------------------------------------------
     # Bundle adjustment over the full masked problem
     # ------------------------------------------------------------------
-    def bundle_adjust(self, fix_gauge: int = 2, new_views=None):
-        cfg = self.cfg
-        posed_idx = np.nonzero(self.res.posed)[0]
-        m = (
+    def _obs_table_mask(self):
+        return (
             self.tbl_mask
             & self.res.posed[self.tbl_view]
             & self.res.point_valid[:, None]
             & self.obs_inlier[self.tbl_obs]
         )
 
-        q = geo.mat_to_quat(jnp.asarray(self.res.pose_R, jnp.float32))
+    def _make_problem(self, m, cam_fixed) -> ba_mod.BAProblem:
+        intr = jax.tree_util.tree_map(jnp.asarray, self.intr_np)
+        return ba_mod.BAProblem(
+            cam_q=geo.mat_to_quat(jnp.asarray(self.res.pose_R, jnp.float32)),
+            cam_c=jnp.asarray(self.res.pose_c, jnp.float32),
+            points=jnp.asarray(self.res.points, jnp.float32),
+            intr=jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32)
+                                        if np.issubdtype(np.asarray(a).dtype, np.floating) else jnp.asarray(a), intr),
+            obs_cam=jnp.asarray(self.tbl_view),
+            obs_intr=jnp.asarray(self.view_intrinsic[self.tbl_view]),
+            obs_uv=jnp.asarray(self.obs_uv[self.tbl_obs], jnp.float32),
+            obs_mask=jnp.asarray(m),
+            cam_fixed=jnp.asarray(cam_fixed),
+            point_fixed=jnp.asarray(~self.res.point_valid),
+        )
+
+    def bundle_adjust(self, fix_gauge: int = 2, new_views=None):
+        cfg = self.cfg
+        posed_idx = np.nonzero(self.res.posed)[0]
+        m = self._obs_table_mask()
+
         cam_fixed = ~self.res.posed.copy()
         cam_fixed[posed_idx[:fix_gauge]] = True
         # Local BA on large scenes: hold cameras far from the new views.
@@ -332,20 +505,7 @@ class IncrementalSfM:
             )
             cam_fixed |= lba_fixed
 
-        intr = jax.tree_util.tree_map(jnp.asarray, self.intr_np)
-        problem = ba_mod.BAProblem(
-            cam_q=q,
-            cam_c=jnp.asarray(self.res.pose_c, jnp.float32),
-            points=jnp.asarray(self.res.points, jnp.float32),
-            intr=jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32)
-                                        if np.issubdtype(np.asarray(a).dtype, np.floating) else jnp.asarray(a), intr),
-            obs_cam=jnp.asarray(self.tbl_view),
-            obs_intr=jnp.asarray(self.view_intrinsic[self.tbl_view]),
-            obs_uv=jnp.asarray(self.obs_uv[self.tbl_obs], jnp.float32),
-            obs_mask=jnp.asarray(m),
-            cam_fixed=jnp.asarray(cam_fixed),
-            point_fixed=jnp.asarray(~self.res.point_valid),
-        )
+        problem = self._make_problem(m, cam_fixed)
         res = _ba_solve_jit(problem)
         self.res.pose_R = np.asarray(geo.quat_to_mat(res.cam_q), np.float64)
         self.res.pose_c = np.asarray(res.cam_c, np.float64)
@@ -370,7 +530,8 @@ class IncrementalSfM:
         err = np.linalg.norm(uvn - self.obs_norm, axis=-1) * self._focal_mean
         bad = (err > cfg.max_reproj_px) | (z <= 0)
         relevant = self.res.posed[self.obs_view] & self.res.point_valid[tr]
-        self.obs_inlier = self.obs_inlier & ~(bad & relevant)
+        flagged = bad & relevant & self.obs_inlier
+        self.obs_inlier = self.obs_inlier & ~flagged
         # drop tracks that lost support
         m = (
             self.tbl_mask
@@ -378,7 +539,44 @@ class IncrementalSfM:
             & self.obs_inlier[self.tbl_obs]
         )
         self.res.point_valid &= m.sum(1) >= 2
-        return int((bad & relevant).sum())
+        self._last_outlier_tracks = np.unique(tr[flagged])
+        return int(flagged.sum())
+
+    # ------------------------------------------------------------------
+    def refine_intrinsics_now(self):
+        """Refine the shared intrinsic table against the current scene and
+        refresh the cached normalized observations (obs_norm feeds resection
+        and triangulation, so it must track the intrinsics).
+
+        Ref: the reference refines intrinsics jointly inside every BA
+        (BundleAdjustment.hpp REFINE_INTRINSICS_*); here a dedicated small
+        GN alternates with the Schur pose/point BA."""
+        m = self._obs_table_mask()
+        problem = self._make_problem(m, cam_fixed=~self.res.posed)
+        n_posed = int(self.res.posed.sum())
+        new_intr = ba_mod.refine_intrinsics(
+            problem,
+            problem.cam_q,
+            problem.cam_c,
+            problem.points,
+            refine_pp=n_posed >= 8,
+        )
+        self.intr_np = jax.tree_util.tree_map(np.asarray, new_intr)
+        self._recompute_obs_norm()
+        self.res.history.append(
+            ("refine_intrinsics", float(np.mean(self.intr_np.scale)))
+        )
+
+    def _recompute_obs_norm(self):
+        intr_rows = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a)[self.view_intrinsic[self.obs_view]],
+            self.intr_np,
+        )
+        p = cam.ima2cam(intr_rows, jnp.asarray(self.obs_uv))
+        self.obs_norm = np.asarray(
+            cam.remove_distortion(intr_rows.disto_kind, intr_rows.disto, p)
+        )
+        self._focal_mean = float(np.mean(self.intr_np.scale))
 
     # ------------------------------------------------------------------
     def process(self, max_iterations: int = 1000) -> IncrementalResult:
@@ -388,13 +586,14 @@ class IncrementalSfM:
         self.bundle_adjust()
         self.remove_outliers()
         self.triangulate_all()
+        next_refine_at = 4
 
         it = 0
         while it < max_iterations:
             it += 1
             scores = self.view_scores()
             best = scores.max()
-            if best < self.cfg.min_track_inliers_resection:
+            if best <= 0:
                 break
             # group: views within 75% of the best score, up to group_add
             n_posed = int(self.res.posed.sum())
@@ -409,13 +608,19 @@ class IncrementalSfM:
                     new_views.append(int(v))
             if added == 0:
                 break
-            self.triangulate_all()
+            # incremental: only tracks seeing the new views can change
+            new_obs = np.concatenate([self.view_obs[v] for v in new_views])
+            self.triangulate_tracks(np.unique(self.obs_track[new_obs]))
+            n_posed = int(self.res.posed.sum())
+            if self.cfg.refine_intrinsics and n_posed >= next_refine_at:
+                self.refine_intrinsics_now()
+                next_refine_at = max(next_refine_at * 2, n_posed + 1)
             self.bundle_adjust(new_views=new_views)
             for _ in range(5):
                 n_bad = self.remove_outliers()
                 if n_bad == 0:
                     break
-                self.triangulate_all()
+                self.triangulate_tracks(self._last_outlier_tracks)
                 self.bundle_adjust(new_views=new_views)
         return self.res
 

@@ -110,3 +110,31 @@ def test_ba_jit_no_retrace():
     r1 = solve(problem)
     r2 = solve(problem._replace(points=problem.points + 0.01))
     assert jnp.isfinite(r2.cost_final)
+
+
+def test_ba_pcg_matches_dense():
+    """The matrix-free PCG reduced-camera solver reaches the same optimum as
+    the dense Schur solve on a mid-size problem."""
+    scene, problem = _make_problem(n_views=12, n_points=200)
+    r_d = ba.ba_solve(problem, max_iters=20, solver="dense")
+    r_p = ba.ba_solve(problem, max_iters=20, solver="pcg")
+    assert float(r_p.cost_final) < float(r_p.cost_initial) * 1e-3
+    rms_p = float(ba.rms_reprojection_error(problem, r_p.cam_q, r_p.cam_c, r_p.points))
+    rms_d = float(ba.rms_reprojection_error(problem, r_d.cam_q, r_d.cam_c, r_d.points))
+    assert rms_p < max(2 * rms_d, 0.05)
+
+
+def test_ba_auto_solver_picks_pcg_for_many_cams():
+    """solver='auto' must route large camera counts to the PCG path (the
+    dense B factor would not fit at ETH3D scale)."""
+    scene, problem = _make_problem(n_views=8, n_points=60)
+    # fake a large-C problem by padding cameras (content unchanged)
+    C_big = 256
+    pad = C_big - problem.cam_q.shape[0]
+    big = problem._replace(
+        cam_q=jnp.concatenate([problem.cam_q, jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (pad, 1))]),
+        cam_c=jnp.concatenate([problem.cam_c, jnp.zeros((pad, 3))]),
+        cam_fixed=jnp.concatenate([problem.cam_fixed, jnp.ones(pad, bool)]),
+    )
+    res = ba.ba_solve(big, max_iters=8, solver="auto")
+    assert float(res.cost_final) < float(res.cost_initial) * 1e-2
