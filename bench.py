@@ -1,26 +1,36 @@
-"""Benchmark: Schur-complement LM bundle-adjustment iterations/s on TPU.
+"""Benchmarks on the real TPU chip. Prints ONE JSON line:
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+    {"metric", "value", "unit", "vs_baseline", "extra": {...}}
 
-Problem size mirrors a mid-size incremental-SfM BA call (100 cameras,
-10k landmarks, ~8 obs/track) — the regime where the reference switches to
-SPARSE_SCHUR (ref: src/aliceVision/sfm/bundle/BundleAdjustmentCeres.cpp:216-231).
-vs_baseline compares against an estimated Ceres SPARSE_SCHUR throughput of
-5 LM iterations/s for this size on a desktop CPU (the reference repo
-publishes no numbers — see BASELINE.md); refine as real A/B data lands.
+Headline metric: Schur-complement LM bundle-adjustment iterations/s at the
+100-camera / 10k-landmark operating point (where the reference switches to
+SPARSE_SCHUR, ref: src/aliceVision/sfm/bundle/BundleAdjustmentCeres.cpp:216-231).
+`vs_baseline` is a MEASURED A/B against the same-problem, same-math CPU
+Schur LM in vectorized numpy/BLAS float64 (benchmarks/cpu_lm_reference.py)
+run on this host — not an estimate.
+
+`extra` carries the other BASELINE.md configs:
+  * ba_pcg_iters_per_s_1024cam_300kpts — large-scene matrix-free PCG path
+  * sgm_refine_depth_maps_per_s       — SGM+Refine per-view throughput at
+    the reference operating point (scale 2 + stepXY 2 -> 480x270 volume,
+    D=256 depths, T=4 tcams; refine at 960x540 with halfNbDepths 15;
+    SgmParams.hpp:21-26, RefineParams.hpp:19-25)
+  * feature_extraction_images_per_s   — batched DSP-SIFT at 1024x768
+  * e2e_10img_wall_s                  — 10-image incremental SfM pipeline
+    (cameraInit -> SIFT -> exhaustive match -> incremental SfM) on CPU jax
+    per BASELINE config 1; steady-state (2nd in-process run)
+  * cpu_lm_iters_per_s_measured       — the measured baseline denominator
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-REF_BA_ITERS_PER_S = 5.0
-
 
 def make_problem(n_views=100, n_points=10000, max_track=8, seed=0):
     import jax
-    import jax.numpy as jnp
 
     from alicevision_tpu.sfm import ba
     from alicevision_tpu.utils.synthetic import ring_scene
@@ -31,87 +41,311 @@ def make_problem(n_views=100, n_points=10000, max_track=8, seed=0):
     # finished pytree is shipped to the TPU once, below.
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        problem = _make_problem_on_host(
-            ba, ring_scene, jax, jnp, n_views, n_points, max_track, seed
-        )
+        problem = _make_problem_on_host(ba, ring_scene, jax, n_views,
+                                        n_points, max_track, seed)
     return jax.tree_util.tree_map(jax.device_put, problem)
 
 
-def _make_problem_on_host(ba, ring_scene, jax, jnp, n_views, n_points,
-                          max_track, seed):
+def _make_problem_on_host(ba, ring_scene, jax, n_views, n_points, max_track,
+                          seed):
     scene = ring_scene(n_views=n_views, n_points=n_points, seed=seed, radius=8.0)
-    # Pull everything host-side ONCE — per-element indexing of device arrays
-    # would issue one tunnel transfer per observation.
     vis = np.asarray(scene.visible)
     obs_np = np.asarray(scene.observations)
     rng = np.random.RandomState(seed)
 
-    # keep up to max_track random observing views per point
-    o_lm, o_cam, o_uv = [], [], []
-    for l in range(n_points):
-        views = np.nonzero(vis[:, l])[0]
-        if len(views) < 2:
-            continue
-        if len(views) > max_track:
-            views = rng.choice(views, max_track, replace=False)
-        for v in views:
-            o_lm.append(l)
-            o_cam.append(v)
-            o_uv.append(obs_np[v, l])
+    # keep up to max_track random observing views per point (vectorized:
+    # random scores per (view, point), top-K among visible)
+    score = rng.rand(n_views, n_points) + vis
+    order = np.argsort(-score, axis=0)[:max_track]  # (K, L) view indices
+    sel_vis = np.take_along_axis(vis, order, axis=0)
+    lm_idx = np.broadcast_to(np.arange(n_points), order.shape)
+    keep = sel_vis & (vis.sum(0) >= 2)[None, :]
+    o_cam = order[keep]
+    o_lm = lm_idx[keep]
+    o_uv = obs_np[o_cam, o_lm]
 
     intr = jax.tree_util.tree_map(lambda a: a[None], scene.intrinsics)
     key = jax.random.PRNGKey(1)
     pts0 = scene.points + 0.02 * jax.random.normal(key, scene.points.shape)
-    problem = ba.build_problem(
-        scene.poses.q,
-        scene.poses.c,
-        pts0,
-        intr,
-        np.array(o_lm),
-        np.array(o_cam),
-        np.zeros(len(o_lm), np.int32),
-        np.array(o_uv),
-        max_track=max_track,
-        cam_fixed=np.arange(n_views) < 2,
+    return ba.build_problem(
+        scene.poses.q, scene.poses.c, pts0, intr,
+        o_lm, o_cam, np.zeros(len(o_lm), np.int32), o_uv,
+        max_track=max_track, cam_fixed=np.arange(n_views) < 2,
     )
-    return problem
 
 
-def main():
+def make_large_problem(C=1024, L=300_000, K=6, seed=0):
+    """Sparse large-scene problem built directly in numpy (a dense (V, L)
+    observation tensor at this size would be ~2.4 GB)."""
     import jax
 
+    from alicevision_tpu import camera as cam
     from alicevision_tpu.sfm import ba
 
-    problem = make_problem()
-    n_iters = 10
+    rng = np.random.RandomState(seed)
+    ring_r = 10.0
+    ang = np.linspace(0, 2 * np.pi, C, endpoint=False)
+    centers = np.stack(
+        [ring_r * np.cos(ang), ring_r * np.sin(ang), 0.5 * np.sin(3 * ang)], -1
+    )
+    fwd = -centers / np.linalg.norm(centers, axis=-1, keepdims=True)
+    up = np.array([0.0, 0.0, 1.0])
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right, axis=-1, keepdims=True)
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd], axis=-2)  # world->cam rows
 
-    solve = jax.jit(lambda p: ba.ba_solve(p, max_iters=n_iters, rtol=0.0))
+    pts = rng.uniform(-1, 1, (L, 3)) * np.array([3.0, 3.0, 1.5])
+    # banded covisibility: each landmark sees K distinct cameras from a
+    # window near its angular position (realistic ring-scan connectivity)
+    theta = np.arctan2(pts[:, 1], pts[:, 0])
+    base = ((theta + np.pi) / (2 * np.pi) * C).astype(np.int64)
+    WIN = 32
+    off_rank = np.argsort(rng.rand(L, WIN), axis=1)[:, :K]
+    cam_idx = (base[:, None] + off_rank - WIN // 2) % C
 
-    # warmup / compile
+    f, w_img, h_img = 1200.0, 1920.0, 1080.0
+    x = pts[:, None, :] - centers[cam_idx]
+    u = np.einsum("lkij,lkj->lki", R[cam_idx], x)
+    z = u[..., 2]
+    uv = f * u[..., :2] / np.where(np.abs(z) < 1e-9, 1e-9, z)[..., None]
+    uv += np.array([w_img / 2, h_img / 2])
+    ok = (
+        (z > 1.0)
+        & (np.abs(uv[..., 0] - w_img / 2) < w_img / 2)
+        & (np.abs(uv[..., 1] - h_img / 2) < h_img / 2)
+    )
+    o_lm = np.broadcast_to(np.arange(L)[:, None], cam_idx.shape)[ok]
+    o_cam = cam_idx[ok]
+    o_uv = (uv + rng.normal(0, 0.5, uv.shape))[ok]
+
+    from alicevision_tpu.geometry.rotations import mat_to_quat
+    import jax.numpy as jnp
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        q = np.asarray(mat_to_quat(jnp.asarray(R, jnp.float32)))
+        intr = jax.tree_util.tree_map(
+            lambda a: np.asarray(a)[None], cam.make_intrinsics(w_img, h_img, f)
+        )
+        pts0 = pts + rng.normal(0, 0.02, pts.shape)
+        problem = ba.build_problem(
+            q, centers, pts0, intr, o_lm, o_cam,
+            np.zeros(len(o_lm), np.int32), o_uv,
+            max_track=K, cam_fixed=np.arange(C) < 2,
+        )
+    return jax.tree_util.tree_map(jax.device_put, problem)
+
+
+def _time_solve(solve, problem, n_iters):
+    import jax.numpy as jnp
+
     res = solve(problem)
     res.cost_final.block_until_ready()
-
     times = []
     for i in range(3):
         # perturb the input each rep — the axon runtime memoizes repeated
         # identical calls, which would make timings meaningless
-        import jax.numpy as jnp
-
         p_i = problem._replace(points=problem.points + jnp.float32(i) * 1e-7)
         t0 = time.perf_counter()
         res = solve(p_i)
         res.cost_final.block_until_ready()
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    iters_per_s = int(res.n_iters) / dt if int(res.n_iters) else n_iters / dt
+    done = int(res.n_iters)
+    return (done if done else n_iters) / dt
 
+
+def bench_ba_small():
+    import jax
+
+    from alicevision_tpu.sfm import ba
+
+    problem = make_problem()
+    n_iters = 10
+    solve = jax.jit(lambda p: ba.ba_solve(p, max_iters=n_iters, rtol=0.0,
+                                          solver="dense"))
+    return _time_solve(solve, problem, n_iters), problem
+
+
+def bench_ba_large():
+    import jax
+
+    from alicevision_tpu.sfm import ba
+
+    problem = make_large_problem()
+    n_iters = 5
+    solve = jax.jit(lambda p: ba.ba_solve(p, max_iters=n_iters, rtol=0.0,
+                                          solver="pcg"))
+    return _time_solve(solve, problem, n_iters)
+
+
+def bench_depth_maps():
+    import jax
+    import jax.numpy as jnp
+
+    from alicevision_tpu.mvs.plane_sweep import SgmParams, sgm_depth_map
+    from alicevision_tpu.mvs.refine import refine_depth_map
+
+    # SGM at scale2 + stepXY2 of a 1920x1080 capture -> 480x270 volume.
+    Hs, Ws, D, T = 272, 480, 256, 4
+    Hr, Wr = 544, 960  # refine at scale 1 (of the prepared half-res image)
+    rng = np.random.RandomState(0)
+    ref_s = jnp.asarray(rng.rand(Hs, Ws), jnp.float32)
+    t_s = jnp.asarray(rng.rand(T, Hs, Ws), jnp.float32)
+    ref_r = jnp.asarray(rng.rand(Hr, Wr), jnp.float32)
+    t_r = jnp.asarray(rng.rand(T, Hr, Wr), jnp.float32)
+
+    def cams(w, h, f):
+        K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
+        Rs, ts = [], []
+        for i in range(T):
+            a = 0.02 * (i + 1)
+            c, s = np.cos(a), np.sin(a)
+            Rs.append(np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]]))
+            ts.append(np.array([-0.3 * (i + 1), 0.02 * i, 0.01]))
+        return (jnp.asarray(K), jnp.broadcast_to(jnp.asarray(K), (T, 3, 3)),
+                jnp.asarray(np.stack(Rs), jnp.float32),
+                jnp.asarray(np.stack(ts), jnp.float32))
+
+    K_s, Kt_s, R_rel, t_rel = cams(Ws, Hs, 300.0)
+    K_r, Kt_r, _, _ = cams(Wr, Hr, 600.0)
+    params = SgmParams(n_depths=D)
+
+    def one_view(ref_s_, t_s_, ref_r_, t_r_):
+        depth, sim = sgm_depth_map(ref_s_, t_s_, K_s, Kt_s, R_rel, t_rel,
+                                   2.0, 20.0, params)
+        up = jnp.repeat(jnp.repeat(depth, 2, 0), 2, 1)
+        return refine_depth_map(up, ref_r_, t_r_, K_r, Kt_r, R_rel, t_rel,
+                                n_offsets=15)
+
+    f = jax.jit(one_view)
+    out = f(ref_s, t_s, ref_r, t_r)
+    jax.block_until_ready(out)
+    best = 1e9
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = f(ref_s + jnp.float32(i) * 1e-6, t_s, ref_r, t_r)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return 1.0 / best
+
+
+def bench_features():
+    import jax
+    import jax.numpy as jnp
+
+    from alicevision_tpu.features import sift
+
+    H, W = 768, 1024
+    rng = np.random.RandomState(0)
+    img = rng.rand(H, W).astype(np.float32)
+    # smooth so the DoG pyramid finds realistic blob counts
+    k = np.ones((8, 8)) / 64.0
+    from scipy.signal import convolve2d
+
+    img = convolve2d(img, k, mode="same").astype(np.float32)
+    x = jnp.asarray(img)
+    # reference operating point: DSP-SIFT is the default describer
+    cfg = sift.SiftConfig(max_keypoints=4096, dsp=True)
+    f = jax.jit(lambda im: sift.extract(im, cfg))
+    out = f(x)
+    jax.block_until_ready(out)
+    best = 1e9
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = f(x + jnp.float32(i) * 1e-6)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return 1.0 / best
+
+
+def bench_e2e_cpu():
+    """10-image pipeline wall time on CPU jax (BASELINE config 1),
+    steady-state: second in-process run (module-level jit caches warm)."""
+    import tempfile
+
+    import jax
+
+    from alicevision_tpu.pipeline import stages
+    from alicevision_tpu.utils.render import make_test_dataset
+
+    cpu = jax.devices("cpu")[0]
+
+    def run_once(img_dir, work):
+        scene = os.path.join(work, "cameraInit.sfm")
+        stages.camera_init(img_dir, scene, default_focal_px=400.0)
+        feats = os.path.join(work, "features")
+        stages.feature_extraction(scene, feats, max_keypoints=2048,
+                                  downscale_to=0)
+        pairs_f = os.path.join(work, "pairs.txt")
+        stages.image_matching(scene, feats, pairs_f, method="exhaustive")
+        matches_f = os.path.join(work, "matches.npz")
+        stages.feature_matching(scene, feats, pairs_f, matches_f)
+        out = stages.incremental_sfm(scene, feats, matches_f,
+                                     os.path.join(work, "sfm.sfm"))
+        return out.n_poses
+
+    with jax.default_device(cpu):
+        with tempfile.TemporaryDirectory() as d:
+            img_dir = os.path.join(d, "imgs")
+            os.makedirs(img_dir)
+            make_test_dataset(img_dir, n_views=10, wh=(480, 360), focal=400.0)
+            run_once(img_dir, os.path.join(d, "w1"))  # warm jit caches
+            os.makedirs(os.path.join(d, "w2"))
+            t0 = time.perf_counter()
+            n_poses = run_once(img_dir, os.path.join(d, "w2"))
+            dt = time.perf_counter() - t0
+    if n_poses < 8:
+        raise RuntimeError(f"e2e posed only {n_poses}/10 views")
+    return dt
+
+
+def main():
+    extra = {}
+
+    def guard(name, fn):
+        try:
+            t0 = time.perf_counter()
+            v = fn()
+            extra[name] = round(v, 3) if isinstance(v, float) else v
+            print(f"# {name}: {extra[name]} ({time.perf_counter()-t0:.0f}s)")
+        except Exception as e:  # noqa: BLE001 — benches are independent
+            extra[name] = None
+            print(f"# {name} FAILED: {type(e).__name__}: {e}")
+
+    ba_small = None
+    problem_small = None
+
+    def _ba_small():
+        nonlocal ba_small, problem_small
+        ba_small, problem_small = bench_ba_small()
+        return ba_small
+
+    guard("ba_lm_iters_per_s_100cam_10kpts", _ba_small)
+
+    def _cpu_baseline():
+        from benchmarks.cpu_lm_reference import measure_iters_per_s
+
+        return measure_iters_per_s(problem_small, n_iters=4)
+
+    guard("cpu_lm_iters_per_s_measured", _cpu_baseline)
+    guard("ba_pcg_iters_per_s_1024cam_300kpts", bench_ba_large)
+    guard("sgm_refine_depth_maps_per_s", bench_depth_maps)
+    guard("feature_extraction_images_per_s", bench_features)
+    guard("e2e_10img_wall_s", bench_e2e_cpu)
+
+    value = extra.pop("ba_lm_iters_per_s_100cam_10kpts", None) or float("nan")
+    baseline = extra.get("cpu_lm_iters_per_s_measured") or None
+    vs = round(value / baseline, 3) if (baseline and value == value) else None
     print(
         json.dumps(
             {
                 "metric": "ba_lm_iterations_per_s_100cam_10kpts",
-                "value": round(iters_per_s, 3),
+                "value": value if value == value else None,
                 "unit": "iters/s",
-                "vs_baseline": round(iters_per_s / REF_BA_ITERS_PER_S, 3),
+                "vs_baseline": vs,
+                "extra": extra,
             }
         )
     )
