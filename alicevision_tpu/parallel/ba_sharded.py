@@ -50,6 +50,7 @@ def pad_problem_for_mesh(problem: ba_mod.BAProblem, n_shards: int) -> ba_mod.BAP
         obs_uv=padL(problem.obs_uv),
         obs_mask=padL(problem.obs_mask),
         point_fixed=jnp.pad(problem.point_fixed, (0, pad), constant_values=True),
+        obs_sub=None if problem.obs_sub is None else padL(problem.obs_sub),
     )
 
 
