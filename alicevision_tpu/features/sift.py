@@ -358,9 +358,28 @@ def extract(img: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> SiftFeatures:
             theta = _orientation(lvl_img, x_i, y_i, sig_i)
             if cfg.dsp:
                 scales = jnp.linspace(cfg.dsp_min, cfg.dsp_max, cfg.dsp_n_scales)
-                descs = jax.vmap(
-                    lambda s: _descriptor_raw(lvl_img, x_i, y_i, sig_i * s, theta, cfg)
-                )(scales)
+                # Sample each pooled domain from the gaussian level whose
+                # smoothing matches sigma*s (clamped to the octave): pooling
+                # a 3x window from the detection-scale blur aliases high
+                # frequencies and makes the pooled descriptor LESS stable
+                # (measured); vl_covdet re-smooths patches the same way
+                # (ImageDescriber_DSPSIFT_vlfeat.cpp:304-311).
+                n_lvls = gauss.shape[0]
+
+                def desc_at(s):
+                    dl = jnp.round(jnp.log2(s) * cfg.n_scales).astype(jnp.int32)
+                    li = jnp.clip(level_i + dl, 0, n_lvls - 1)
+                    return _descriptor_raw(gauss[li], x_i, y_i, sig_i * s, theta, cfg)
+
+                descs = jax.vmap(desc_at)(scales)
+                # L2-normalize per scale BEFORE pooling: the raw finite-
+                # difference magnitudes grow with the sampling spacing, so
+                # an unnormalized mean is dominated by the largest domain
+                # (measured: per-scale normalization restores the pooled
+                # descriptor's scale stability).
+                descs = descs / jnp.linalg.norm(
+                    descs, axis=-1, keepdims=True
+                ).clip(1e-12)
                 d = jnp.mean(descs, axis=0)
             else:
                 d = _descriptor_raw(lvl_img, x_i, y_i, sig_i, theta, cfg)

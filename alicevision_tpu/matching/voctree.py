@@ -141,7 +141,10 @@ def build_database(tree: VocTree, bows: jnp.ndarray) -> VocTreeDatabase:
     """bows: (n_images, n_leaves) raw counts -> tf-idf with L2 norm."""
     n_images = bows.shape[0]
     df = jnp.sum(bows > 0, axis=0)  # document frequency
-    idf = jnp.log((n_images + 1.0) / (df + 1.0))
+    # +0.5 smoothing keeps idf strictly positive even when every image
+    # touches a leaf (df == N) — with few images and a small vocabulary,
+    # log((N+1)/(df+1)) degenerates to an all-zero database.
+    idf = jnp.log((n_images + 1.0) / (df + 0.5))
     tf = bows / jnp.sum(bows, axis=1, keepdims=True).clip(1.0)
     v = tf * idf[None, :]
     v = v / jnp.linalg.norm(v, axis=1, keepdims=True).clip(1e-12)

@@ -55,3 +55,45 @@ def harmonize_gains(
         w = 1.0 / (jnp.abs(r) + 1e-2)
         g, o = solve(w)
     return g, o
+
+
+def patch_means(img: np.ndarray, xy: np.ndarray, radius: int = 4) -> np.ndarray:
+    """Mean intensity of the (2r+1)^2 patch around each keypoint, via an
+    integral image (vectorized; no per-keypoint loops)."""
+    img = np.asarray(img, np.float64)
+    H, W = img.shape
+    ii = np.zeros((H + 1, W + 1))
+    ii[1:, 1:] = np.cumsum(np.cumsum(img, 0), 1)
+    x = np.clip(np.round(np.asarray(xy)[:, 0]).astype(np.int64), 0, W - 1)
+    y = np.clip(np.round(np.asarray(xy)[:, 1]).astype(np.int64), 0, H - 1)
+    x0 = np.clip(x - radius, 0, W)
+    x1 = np.clip(x + radius + 1, 0, W)
+    y0 = np.clip(y - radius, 0, H)
+    y1 = np.clip(y + radius + 1, 0, H)
+    s = ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
+    area = np.maximum((y1 - y0) * (x1 - x0), 1)
+    return s / area
+
+
+def matched_quantile_constraints(
+    img_i: np.ndarray,
+    img_j: np.ndarray,
+    xy_i: np.ndarray,  # (M, 2) matched keypoint positions in view i
+    xy_j: np.ndarray,  # (M, 2) the same scene points in view j
+    radius: int = 4,
+    quantiles=(0.1, 0.25, 0.5, 0.75, 0.9),
+):
+    """Histogram-style constraints from the MATCHED region of a view pair
+    (ref: colorHarmonization/GainOffsetConstraintBuilder.cpp — the
+    reference builds constraints from the histograms of the common region;
+    here the common region is the set of matched-feature patches, whose
+    per-point means correspond 1:1 across the pair, so corresponding
+    quantiles must map onto each other under the gain/offset).
+
+    Returns (q_i, q_j) arrays of len(quantiles)."""
+    if len(xy_i) == 0:
+        return np.zeros(0), np.zeros(0)
+    s_i = patch_means(img_i, xy_i, radius)
+    s_j = patch_means(img_j, xy_j, radius)
+    qs = np.asarray(quantiles)
+    return np.quantile(s_i, qs), np.quantile(s_j, qs)

@@ -71,3 +71,46 @@ def segment_sky(image: np.ndarray, threshold: float = 0.35) -> np.ndarray:
     use-case), via the tiled harness + classical fallback model."""
     score = segment_tiled(image, sky_mask_classical)
     return score > threshold
+
+
+def have_onnxruntime() -> bool:
+    try:
+        import onnxruntime  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def onnx_model(model_path: str, input_name: str | None = None,
+               providers=None):
+    """Optional-import ONNX Runtime wrapper returning a tile callable for
+    `segment_tiled` (the reference's ORT session,
+    segmentation.hpp:119-120). The environment may lack onnxruntime — the
+    import is deferred here so everything else works without it."""
+    try:
+        import onnxruntime as ort
+    except ImportError as e:  # pragma: no cover - env without ORT
+        raise ImportError(
+            "onnxruntime is not installed; use sky_mask_classical or pass a"
+            " JAX/torch callable to segment_tiled instead"
+        ) from e
+    sess = ort.InferenceSession(
+        model_path, providers=providers or ["CPUExecutionProvider"]
+    )
+    iname = input_name or sess.get_inputs()[0].name
+
+    def run(tile: np.ndarray) -> np.ndarray:
+        x = np.asarray(tile, np.float32)
+        if x.ndim == 2:
+            x = x[..., None]
+        x = np.transpose(x, (2, 0, 1))[None]  # NCHW
+        out = sess.run(None, {iname: x})[0]
+        out = np.asarray(out)
+        if out.ndim == 4:  # (1, K, h, w) -> (h, w, K)
+            out = np.transpose(out[0], (1, 2, 0))
+        elif out.ndim == 3:
+            out = out[0]
+        return out
+
+    return run

@@ -55,3 +55,21 @@ def detect_sphere(
 def sphere_mask(shape, cx, cy, r) -> np.ndarray:
     ys, xs = np.mgrid[0 : shape[0], 0 : shape[1]]
     return (xs - cx) ** 2 + (ys - cy) ** 2 <= r * r
+
+
+def detect_sphere_onnx(image, model_path: str, threshold: float = 0.5):
+    """ONNX-model sphere detection when onnxruntime is importable
+    (ref: sphereDetection/ — ONNX scores -> circle fit); falls back is the
+    classical detect_sphere. Returns (cx, cy, r) or None."""
+    from .segmentation import onnx_model, segment_tiled
+
+    run = onnx_model(model_path)
+    img = np.asarray(image, np.float32)
+    scores = segment_tiled(img if img.ndim == 3 else img[..., None], run)
+    mask = scores[..., 0] > threshold
+    if mask.sum() < 16:
+        return None
+    ys, xs = np.nonzero(mask)
+    cx, cy = xs.mean(), ys.mean()
+    r = np.sqrt(mask.sum() / np.pi)
+    return float(cx), float(cy), float(r)

@@ -61,7 +61,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--maxKeypoints", type=int, default=4096)
     p.add_argument("--dsp", action="store_true")
     p.add_argument("--downscaleTo", type=int, default=1024)
-    p.add_argument("--describerTypes", default="sift",
+    p.add_argument("--describerTypes", default="dspsift",
                    help="comma list: sift,tag16h5,cctag3")
     _add_common(p)
 

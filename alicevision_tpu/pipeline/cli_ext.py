@@ -191,6 +191,7 @@ def _sfm_regression(args):
 
 def _setup_harmonize(p):
     p.add_argument("--input", required=True, help=".sfm")
+    p.add_argument("--features", required=True, help="features folder")
     p.add_argument("--matches", required=True)
     p.add_argument("--imagesFolder", required=True)
     p.add_argument("--output", required=True, help="folder of harmonized images")
@@ -209,6 +210,8 @@ def _sfm_color_harmonize(args):
     from ..misc.color_harmonization import harmonize_gains
     from .stages import load_features, load_matches
 
+    from ..misc.color_harmonization import matched_quantile_constraints
+
     sc = sfmdata.load(args.input)
     matches = load_matches(args.matches)
     imgs = {}
@@ -216,14 +219,26 @@ def _sfm_color_harmonize(args):
         path = sc.view_paths[v]
         if path and os.path.exists(path):
             imgs[v] = read_image(path, grayscale=True)
+    feats = {}
+
+    def get_xy(v):
+        if v not in feats:
+            feats[v] = load_features(args.features, int(sc.view_ids[v]))["xy"]
+        return feats[v]
+
     edges, mi, mj = [], [], []
     for (i, j), m in matches.items():
         if i not in imgs or j not in imgs or len(m) == 0:
             continue
-        # matched-region statistic: mean intensity around matched features
-        edges.append((i, j))
-        mi.append(float(imgs[i].mean()))
-        mj.append(float(imgs[j].mean()))
+        # matched-region quantiles around the matched feature patches
+        # (GainOffsetConstraintBuilder histogram constraints)
+        q_i, q_j = matched_quantile_constraints(
+            imgs[i], imgs[j], get_xy(i)[m[:, 0]], get_xy(j)[m[:, 1]]
+        )
+        for a, b in zip(q_i, q_j):
+            edges.append((i, j))
+            mi.append(float(a))
+            mj.append(float(b))
     if not edges:
         raise RuntimeError("no usable pairs for harmonization")
     import jax.numpy as jnp

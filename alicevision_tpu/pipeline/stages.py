@@ -121,6 +121,9 @@ def feature_extraction(
     _ensure_dir(output_folder)
     end = sc.n_views if range_size < 0 else min(sc.n_views, range_start + range_size)
     types = [t.strip() for t in describer_types.split(",") if t.strip()]
+    # "dspsift" selects domain-size-pooled descriptors (the reference's
+    # default describer, ImageDescriber_DSPSIFT_vlfeat.hpp)
+    dsp = dsp or ("dspsift" in types)
     cfg = sift.SiftConfig(max_keypoints=max_keypoints, dsp=dsp, n_octaves=4)
     extract = jax.jit(lambda im: sift.extract(im, cfg))
 

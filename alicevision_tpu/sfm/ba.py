@@ -567,7 +567,7 @@ def _schur_solve(problem, r, Jc, Jl, lam):
 
 
 def _schur_solve_pcg(problem, r, Jc, Jl, lam, cg_iters: int = 100,
-                     cg_tol: float = 1e-2):
+                     cg_tol: float = 1e-2, loop: str = "while"):
     """Matrix-free PCG on the reduced camera system S dx = b.
 
     Never materializes S (6C x 6C) or the (6C, 3L) elimination factor B —
@@ -640,7 +640,20 @@ def _schur_solve_pcg(problem, r, Jc, Jl, lam, cg_iters: int = 100,
 
     x0 = jnp.zeros_like(b)
     z0 = M_apply(b)
-    dx_cam, *_ = jax.lax.while_loop(cond, body, (x0, b, z0, z0, jnp.int32(0)))
+    state0 = (x0, b, z0, z0, jnp.int32(0))
+    if loop == "while":
+        dx_cam, *_ = jax.lax.while_loop(cond, body, state0)
+    else:
+        # fixed-trip fori with convergence masking (no HLO While cond on
+        # the host-round-trip axon tunnel; see ba_solve loop="unrolled")
+        def fbody(_, state):
+            active = cond(state)
+            new = body(state)
+            return jax.tree_util.tree_map(
+                lambda a, b_: jnp.where(active, b_, a), state, new
+            )
+
+        dx_cam, *_ = jax.lax.fori_loop(0, cg_iters, fbody, state0)
 
     dx_pt = _back_substitute(parts, dx_cam)
     return dx_cam, dx_pt
@@ -673,13 +686,17 @@ def ba_solve(
     solver: str = "auto",
     cg_iters: int = 100,
     cg_tol: float = 1e-2,
+    loop: str = "while",
 ) -> BAResult:
     """Run the LM loop fully under jit. Shapes are static; iteration count is
     bounded by max_iters with converged iterations becoming no-ops.
 
     solver: "dense" (explicit 6Cx6C Cholesky), "pcg" (matrix-free
     preconditioned CG — O(K*L) memory, for large scenes), or "auto" (pick by
-    camera count / elimination-factor size, static at trace time)."""
+    camera count / elimination-factor size, static at trace time).
+    loop: "while" (early exit via lax.while_loop) or "unrolled" (exactly
+    max_iters straight-line iterations — use on runtimes where HLO While
+    costs a host round-trip per iteration)."""
 
     C = problem.cam_q.shape[0]
     L = problem.points.shape[0]
@@ -694,7 +711,10 @@ def ba_solve(
     if solver == "dense":
         schur = _schur_solve
     elif solver == "pcg":
-        schur = lambda *a: _schur_solve_pcg(*a, cg_iters=cg_iters, cg_tol=cg_tol)
+        cg_loop = "while" if loop == "while" else "fori"
+        schur = lambda *a: _schur_solve_pcg(
+            *a, cg_iters=cg_iters, cg_tol=cg_tol, loop=cg_loop
+        )
     else:
         raise ValueError(f"unknown solver {solver!r}")
 
@@ -743,7 +763,21 @@ def ba_solve(
         jnp.int32(0),
         jnp.bool_(False),
     )
-    q, c, X, lam, cost, it, _ = jax.lax.while_loop(cond, body, state0)
+    if loop == "while":
+        q, c, X, lam, cost, it, _ = jax.lax.while_loop(cond, body, state0)
+    elif loop == "unrolled":
+        # Trace-time unroll: exactly max_iters LM iterations as ONE straight-
+        # line device program — no HLO While. The axon TPU tunnel evaluates
+        # While conditions with a host round-trip (measured: seconds per
+        # iteration, while the same math unrolled runs at device speed), so
+        # benches and latency-critical paths use this mode. Accept/reject
+        # masking already makes converged iterations no-ops.
+        state = state0
+        for _ in range(max_iters):
+            state = body(state)
+        q, c, X, lam, cost, it, _ = state
+    else:
+        raise ValueError(f"unknown loop mode {loop!r}")
     return BAResult(
         cam_q=q, cam_c=c, points=X, cost_initial=cost0, cost_final=cost, n_iters=it
     )

