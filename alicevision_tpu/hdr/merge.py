@@ -74,3 +74,34 @@ def merge_hdr(
         all_sat = jnp.all(images > 0.995, axis=0)
         merged = jnp.where(all_sat, jnp.maximum(merged, fallback), merged)
     return merged
+
+
+def highlight_recovery(
+    radiance: jnp.ndarray,  # (H, W[, C]) merged radiance
+    brightest_ldr: jnp.ndarray,  # (H, W[, C]) most-exposed LDR in [0, 1]
+    target_exposure: float,
+    correction_factor: float = 1.0,
+    target_lux: float = 120000.0,
+) -> jnp.ndarray:
+    """Clamped-highlight compensation (ref: hdrMerge.cpp:199-272).
+
+    Per pixel, a soft clamped-ness score from the most-exposed LDR
+    (inverse sigmoid around 0.95, width 0.08, hdrMerge.cpp:39-42) is
+    averaged over channels, Gaussian-smoothed, and used to blend the
+    radiance toward highlightTarget = target_lux * target_exposure * 2.5
+    wherever the merged radiance is below that target.
+    """
+    if correction_factor == 0.0:
+        return radiance
+    from ..image.filtering import gaussian_blur
+
+    target = target_lux * target_exposure * 2.5
+    z = brightest_ldr
+    clamped = 1.0 / (1.0 + jnp.exp(10.0 * ((0.95 - z) / 0.08)))
+    if clamped.ndim == 3:
+        clamped = jnp.mean(clamped, axis=-1)
+    clamped_g = gaussian_blur(clamped, 1.0)
+    comp = jnp.clip(correction_factor * clamped_g, 0.0, 1.0)
+    comp = comp[..., None] if radiance.ndim == 3 else comp
+    recovered = comp * target + (1.0 - comp) * radiance
+    return jnp.where(radiance < target, recovered, radiance)

@@ -579,9 +579,35 @@ class IncrementalSfM:
         self._focal_mean = float(np.mean(self.intr_np.scale))
 
     # ------------------------------------------------------------------
+    def seed_from_sfmdata(self, sc, view_map=None):
+        """Pre-populate the engine from an existing reconstruction — the
+        reference's SfM-augmentation mode
+        (ReconstructionEngine_sequentialSfM.cpp:183-223: process() detects
+        a seeded scene and extends it instead of picking an initial pair).
+
+        sc: SfMData whose landmark_ids are TRACK indices of this engine's
+        track set (to_sfmdata writes them that way, so save -> reload ->
+        seed round-trips). view_map maps sc view index -> engine view index
+        (identity by default)."""
+        vm = (lambda v: v) if view_map is None else view_map
+        for v in np.asarray(sc.valid_views()):
+            ev = vm(int(v))
+            p = int(sc.view_pose[int(v)])
+            self.res.pose_R[ev] = sc.pose_R[p]
+            self.res.pose_c[ev] = sc.pose_c[p]
+            self.res.posed[ev] = True
+        ids = np.asarray(sc.landmark_ids)
+        keep = (ids >= 0) & (ids < self.T)
+        self.res.points[ids[keep]] = np.asarray(sc.points)[keep]
+        self.res.point_valid[ids[keep]] = True
+        self.res.history.append(
+            ("seed", int(self.res.posed.sum()), int(keep.sum()))
+        )
+
     def process(self, max_iterations: int = 1000) -> IncrementalResult:
-        if not self.initialize():
-            raise RuntimeError("no valid initial pair found")
+        if self.res.posed.sum() < 2:  # else: seeded scene — resume/augment
+            if not self.initialize():
+                raise RuntimeError("no valid initial pair found")
         self.triangulate_all()
         self.bundle_adjust()
         self.remove_outliers()

@@ -2,13 +2,18 @@
 
 Counterpart of the reference's sensor DB (ref:
 src/aliceVision/sensorDB/parseDatabase.hpp + cameraSensors.db — a
-"make;model;width_mm" CSV of ~20k rows). We ship a compact built-in table
-of common sensor formats and support loading any CSV in the reference's
-format (including the reference's own cameraSensors.db if the user points
-at one).
+"make;model;width_mm" CSV). The full ~7.5k-row factual table of sensor
+widths ships with the package (data/camera_sensors.db.gz — measurement
+data compiled from public device databases, same provenance as the
+reference's file; carried as data, not code). A compact built-in table
+covers the lookup if the data file is missing, and any CSV in the same
+format can be loaded explicitly.
 """
 
 from __future__ import annotations
+
+import gzip
+import os
 
 # Minimal built-in fallback table (sensor width in mm). Matching is
 # case-insensitive substring on "make model".
@@ -38,27 +43,52 @@ BUILTIN_SENSORS = {
 _DEFAULT_WIDTH_MM = 36.0
 
 
+def _parse_lines(lines) -> dict:
+    db = {}
+    for line in lines:
+        parts = line.strip().split(";")
+        if len(parts) < 3:
+            continue
+        make, model, width = parts[0], parts[1], parts[2]
+        try:
+            w = float(width)
+        except ValueError:
+            continue
+        if w > 0:
+            db[f"{make} {model}".strip().lower()] = w
+    return db
+
+
 def parse_database(path: str) -> dict:
     """Parse a 'Make;Model;WidthMM[;source]' CSV into {key: width_mm}."""
-    db = {}
     with open(path, "r", errors="ignore") as f:
-        for line in f:
-            parts = line.strip().split(";")
-            if len(parts) < 3:
-                continue
-            make, model, width = parts[0], parts[1], parts[2]
-            try:
-                w = float(width)
-            except ValueError:
-                continue
-            if w > 0:
-                db[f"{make} {model}".strip().lower()] = w
-    return db
+        return _parse_lines(f)
+
+
+_SHIPPED = None
+
+
+def shipped_database() -> dict:
+    """The full shipped sensor table (lazy-loaded, cached)."""
+    global _SHIPPED
+    if _SHIPPED is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data",
+            "camera_sensors.db.gz",
+        )
+        if os.path.exists(path):
+            with gzip.open(path, "rt", errors="ignore") as f:
+                _SHIPPED = _parse_lines(f)
+        else:  # data file stripped from the install — built-ins only
+            _SHIPPED = {}
+    return _SHIPPED
 
 
 def sensor_width_mm(make: str, model: str, db: dict | None = None) -> tuple[float, bool]:
     """Look up the sensor width; returns (width_mm, found)."""
     table = dict(BUILTIN_SENSORS)
+    table.update(shipped_database())
     if db:
         table.update(db)
     key = f"{make} {model}".strip().lower()

@@ -86,3 +86,16 @@ def test_cli_keyframe_regular(tmp_path):
                  "--method", "regular", "--step", "4"]) == 0
     lines = open(out).read().split()
     assert lines == ["f000.png", "f004.png", "f008.png"]
+
+
+def test_shipped_sensor_database():
+    """The full shipped sensor table resolves real camera models
+    (ref: sensorDB/cameraSensors.db ~7.5k rows)."""
+    from alicevision_tpu.utils.sensor_db import sensor_width_mm, shipped_database
+
+    db = shipped_database()
+    assert len(db) > 5000
+    w, found = sensor_width_mm("Canon", "Canon EOS 70D")
+    assert found and 20.0 < w < 25.0
+    w, found = sensor_width_mm("NIKON CORPORATION", "NIKON D90")
+    assert found and 22.0 < w < 25.0

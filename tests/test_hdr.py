@@ -146,3 +146,24 @@ def test_cli_hdr_sampling_calibration_merge(tmp_path):
         r = radiance.ravel()
         cc = np.corrcoef(m, r)[0, 1]
         assert cc > 0.95, (method, cc)
+
+
+def test_highlight_recovery_lifts_clamped_pixels():
+    """Clamped pixels in the brightest LDR pull radiance toward the
+    highlight target; unclamped pixels are untouched
+    (ref: hdrMerge.cpp:199-272)."""
+    import numpy as np
+    from alicevision_tpu.hdr.merge import highlight_recovery
+
+    H, W = 32, 32
+    radiance = jnp.ones((H, W)) * 100.0
+    ldr = jnp.zeros((H, W)).at[8:16, 8:16].set(1.0)  # clamped block
+    out = highlight_recovery(radiance, ldr, target_exposure=1.0,
+                             correction_factor=1.0, target_lux=1000.0)
+    out = np.asarray(out)
+    # target = 1000 * 1 * 2.5 = 2500 >> 100
+    assert out[12, 12] > 2000.0
+    assert abs(out[2, 2] - 100.0) < 1.0  # far from the clamped block
+    # zero correction factor is the identity
+    out0 = highlight_recovery(radiance, ldr, 1.0, correction_factor=0.0)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(radiance))

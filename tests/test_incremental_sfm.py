@@ -113,3 +113,44 @@ def test_incremental_sfm_export(tmp_path):
     sc2 = sio.load(p)
     assert sc2.n_poses == sc.n_poses
     assert sc2.n_landmarks == sc.n_landmarks
+
+
+def test_sfm_augmentation_resume():
+    """Reconstruct a subset of views, export, seed a fresh engine with the
+    saved scene, and extend to the full view set (the reference's SfM
+    augmentation, ReconstructionEngine_sequentialSfM.cpp:183-223)."""
+
+    def make_engine():
+        scene = ring_scene(n_views=8, n_points=220, noise_px=0.2, seed=4)
+        tracks, features_xy, _ = _tracks_from_scene(scene)
+        intr = cam.Intrinsics(*jax.tree_util.tree_map(
+            lambda a: np.asarray(a)[None], scene.intrinsics))
+        eng = IncrementalSfM(
+            tracks, features_xy, intr,
+            view_intrinsic=np.zeros(8, np.int32),
+            image_sizes=np.tile([1920, 1080], (8, 1)),
+            config=IncrementalConfig(seed=4),
+        )
+        return scene, eng
+
+    scene, eng = make_engine()
+    # phase 1: reconstruct only views 0..4 by hiding the rest
+    hidden = [5, 6, 7]
+    for v in hidden:
+        eng.obs_inlier[eng.view_obs[v]] = False
+    eng.process()
+    assert eng.res.posed[:5].sum() >= 4
+    assert not eng.res.posed[hidden].any()
+    sc = eng.to_sfmdata()
+
+    # phase 2: fresh engine over the SAME tracks, seeded from the scene
+    scene2, eng2 = make_engine()
+    eng2.seed_from_sfmdata(sc)
+    assert eng2.res.posed.sum() >= 4
+    res = eng2.process()
+    assert res.posed.sum() == 8, res.posed.sum()
+    est = res.pose_c[res.posed]
+    gt = np.asarray(scene2.poses.c)[res.posed]
+    s_, R, t = _align_similarity(est, gt)
+    ate = np.sqrt(np.mean(np.sum((est @ (s_ * R).T + t - gt) ** 2, axis=1)))
+    assert ate < 0.05, ate
