@@ -58,6 +58,9 @@ class SgmParams(NamedTuple):
     # cost-volume filtering per Hosni et al.). 0 disables.
     guided_radius: int = 0
     guided_eps: float = 1e-3
+    # 4 = the reference's default "YX" axes both ways (SgmParams.hpp:34);
+    # 8 adds the four diagonal paths (classic Hirschmuller SGM).
+    n_dirs: int = 4
 
 
 def inverse_depth_planes(d_min: float, d_max: float, n: int) -> jnp.ndarray:
@@ -258,6 +261,34 @@ def _directional_pass(cost: jnp.ndarray, p2_img: jnp.ndarray, p1: float):
     return jnp.concatenate([L0[None], Ls], axis=0)
 
 
+def _diagonal_pass(cost: jnp.ndarray, p2_img: jnp.ndarray, p1: float,
+                   shift: int):
+    """Diagonal SGM sweep over rows of cost (H, N, D): position x of row y
+    chains to position x-shift of row y-1 (shift = +1 -> down-right path).
+    Same recurrence as _directional_pass with the carry row displaced."""
+
+    def move(L):  # displace the previous row along x (edge replicate)
+        if shift == 1:
+            return jnp.concatenate([L[:1], L[:-1]], axis=0)
+        return jnp.concatenate([L[1:], L[-1:]], axis=0)
+
+    def step(carry, inp):
+        C, P2 = inp
+        L_prev = move(carry)
+        m = jnp.min(L_prev, axis=-1, keepdims=True)
+        up = jnp.concatenate([L_prev[:, :1], L_prev[:, :-1]], axis=1)
+        dn = jnp.concatenate([L_prev[:, 1:], L_prev[:, -1:]], axis=1)
+        best = jnp.minimum(
+            jnp.minimum(L_prev, jnp.minimum(up, dn) + p1), m + P2[:, None]
+        )
+        L = C + best - m
+        return L, L
+
+    L0 = cost[0]
+    _, Ls = jax.lax.scan(step, L0, (cost[1:], p2_img[1:]))
+    return jnp.concatenate([L0[None], Ls], axis=0)
+
+
 def _use_pallas() -> bool:
     # Measured on TPU v5e (480x360x128): XLA lax.scan 42 ms vs Pallas 48 ms
     # for the full 4-direction aggregate — the serial chain dominates and
@@ -324,6 +355,32 @@ def sgm_aggregate(
         p1,
     )
     total = total + both_v[:, :W] + both_v[::-1, W:]
+
+    if params.n_dirs >= 8:
+        # four diagonal paths, two per scan (forward + both-axes-flipped
+        # share one doubled-batch scan, like the axis passes above)
+        gd1 = jnp.abs(jnp.roll(jnp.roll(ref_img, -1, 0), -1, 1) - ref_img)
+        gd2 = jnp.abs(jnp.roll(jnp.roll(ref_img, -1, 0), 1, 1) - ref_img)
+        p2d1 = p2_of(gd1)
+        p2d2 = p2_of(gd2)
+
+        def flip_both(a):
+            return a[::-1, ::-1]
+
+        # down-right (+1) + up-left (its both-axes flip)
+        d1 = _diagonal_pass(
+            jnp.concatenate([vol, flip_both(vol)], axis=1),
+            jnp.concatenate([p2d1, flip_both(p2d1)], axis=1),
+            p1, shift=1,
+        )
+        total = total + d1[:, :W] + flip_both(d1[:, W:])
+        # down-left (-1) + up-right
+        d2 = _diagonal_pass(
+            jnp.concatenate([vol, flip_both(vol)], axis=1),
+            jnp.concatenate([p2d2, flip_both(p2d2)], axis=1),
+            p1, shift=-1,
+        )
+        total = total + d2[:, :W] + flip_both(d2[:, W:])
 
     return jnp.moveaxis(total, -1, 0)  # (D, H, W)
 

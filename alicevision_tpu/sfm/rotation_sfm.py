@@ -107,3 +107,96 @@ class RotationSfM:
             irls_iters=irls_iters,
         )
         return np.asarray(R), counts
+
+
+def refine_rotations_with_constraints(
+    R_init,  # (V, 3, 3) world->cam global rotations
+    rotation_priors: list,  # dicts {view_i, view_j, R_j_i}
+    constraints2d: list,  # dicts {view_i, uv_i, view_j, uv_j}
+    intr=None,  # batched Intrinsics (for bearing computation)
+    view_intrinsic=None,  # (V,) int
+    iters: int = 10,
+    prior_weight: float = 1.0,
+    constraint_weight: float = 1.0,
+    fix_first: bool = True,
+):
+    """Gauss-Newton refinement of global rotations against the scene-model
+    constraints (ref: the panorama/nodal engines consume
+    SfMData::rotationpriors and ::constraints2d,
+    ReconstructionEngine_panorama.cpp / sfmData/SfMData.hpp:60-68).
+
+    Residuals:
+      * priors: so3_log(R_j R_i^T (R_j_i)^T) — 3 per prior;
+      * constraints2d: cross-product of the two rays rotated to world,
+        ||R_i^T b_i x R_j^T b_j|| — a pure-rotation epipolar alignment.
+    Returns the refined (V, 3, 3) rotations.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .. import camera as cam_mod
+    from ..geometry.rotations import so3_exp, so3_log
+
+    V = len(R_init)
+    R0 = jnp.asarray(R_init, jnp.float32)
+
+    pi = jnp.asarray([p["view_i"] for p in rotation_priors], jnp.int32)
+    pj = jnp.asarray([p["view_j"] for p in rotation_priors], jnp.int32)
+    pR = jnp.asarray(
+        np.stack([np.asarray(p["R_j_i"]) for p in rotation_priors])
+        if rotation_priors
+        else np.zeros((0, 3, 3)),
+        jnp.float32,
+    )
+
+    def bearing(view, uv):
+        if intr is None:
+            b = jnp.concatenate([jnp.asarray(uv, jnp.float32), jnp.ones(1)], 0)
+        else:
+            ii = int(view_intrinsic[view]) if view_intrinsic is not None else 0
+            row = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[ii], intr)
+            p = cam_mod.ima2cam(row, jnp.asarray(uv, jnp.float32))
+            p = cam_mod.remove_distortion(row.disto_kind, row.disto, p)
+            b = jnp.concatenate([p, jnp.ones(1)], 0)
+        return b / jnp.linalg.norm(b)
+
+    ci = jnp.asarray([c["view_i"] for c in constraints2d], jnp.int32)
+    cj = jnp.asarray([c["view_j"] for c in constraints2d], jnp.int32)
+    bi = jnp.stack(
+        [bearing(c["view_i"], c["uv_i"]) for c in constraints2d]
+    ) if constraints2d else jnp.zeros((0, 3))
+    bj = jnp.stack(
+        [bearing(c["view_j"], c["uv_j"]) for c in constraints2d]
+    ) if constraints2d else jnp.zeros((0, 3))
+
+    live = jnp.ones((V, 1), jnp.float32)
+    if fix_first:
+        live = live.at[0].set(0.0)
+
+    def residuals(w):  # w: (V, 3) tangents
+        R = so3_exp(w * live) @ R0
+        res = []
+        if len(rotation_priors):
+            E = R[pj] @ jnp.swapaxes(R[pi], -1, -2) @ jnp.swapaxes(pR, -1, -2)
+            res.append(prior_weight * so3_log(E).reshape(-1))
+        if len(constraints2d):
+            wi = jnp.einsum("nji,nj->ni", R[ci], bi)  # R^T b -> world ray
+            wj = jnp.einsum("nji,nj->ni", R[cj], bj)
+            res.append(constraint_weight * jnp.cross(wi, wj).reshape(-1))
+        return jnp.concatenate(res) if res else jnp.zeros((1,))
+
+    w = jnp.zeros((V, 3), jnp.float32)
+    for _ in range(iters):
+        r, lin = jax.linearize(residuals, w)
+        basis = jnp.eye(V * 3, dtype=jnp.float32).reshape(V * 3, V, 3)
+        J = jax.vmap(lin)(basis)
+        JtJ = J @ J.T + 1e-8 * jnp.eye(V * 3)
+        g = J @ r
+        step = -jnp.linalg.solve(JtJ, g).reshape(V, 3)
+        w_new = w + step
+        if float(jnp.sum(residuals(w_new) ** 2)) < float(jnp.sum(r * r)):
+            w = w_new
+    import numpy as _np
+
+    return _np.asarray(so3_exp(w * live) @ R0)

@@ -186,6 +186,31 @@ def save_sfm(scene: SfMData, path: str, save_structure: bool = True) -> None:
             )
         out["structure"] = structure
 
+    # scene-model constraints (panorama/nodal pipelines; our extension of
+    # the schema — the reference keeps these runtime-only,
+    # sfmData/SfMData.hpp:60-68)
+    if scene.constraints2d:
+        out["constraints2d"] = [
+            {
+                "viewFirst": _s(int(scene.view_ids[c["view_i"]])),
+                "xFirst": _vec(np.asarray(c["uv_i"], np.float64)),
+                "viewSecond": _s(int(scene.view_ids[c["view_j"]])),
+                "xSecond": _vec(np.asarray(c["uv_j"], np.float64)),
+            }
+            for c in scene.constraints2d
+        ]
+    if scene.rotation_priors:
+        out["rotationpriors"] = [
+            {
+                "viewFirst": _s(int(scene.view_ids[p["view_i"]])),
+                "viewSecond": _s(int(scene.view_ids[p["view_j"]])),
+                "secondRfirst": [
+                    _vec(row) for row in np.asarray(p["R_j_i"], np.float64)
+                ],
+            }
+            for p in scene.rotation_priors
+        ]
+
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
 
@@ -318,6 +343,26 @@ def load_sfm(path: str) -> SfMData:
         scene.obs_uv = np.array(o_uv) if o_uv else np.zeros((0, 2))
         scene.obs_scale = np.array(o_scale)
         scene.obs_feature = np.array(o_feat, np.int64)
+
+    for c in data.get("constraints2d", []) or []:
+        scene.constraints2d.append(
+            {
+                "view_i": id2idx_view[int(c["viewFirst"])],
+                "uv_i": np.array([float(x) for x in c["xFirst"]]),
+                "view_j": id2idx_view[int(c["viewSecond"])],
+                "uv_j": np.array([float(x) for x in c["xSecond"]]),
+            }
+        )
+    for p in data.get("rotationpriors", []) or []:
+        scene.rotation_priors.append(
+            {
+                "view_i": id2idx_view[int(p["viewFirst"])],
+                "view_j": id2idx_view[int(p["viewSecond"])],
+                "R_j_i": np.array(
+                    [[float(x) for x in row] for row in p["secondRfirst"]]
+                ),
+            }
+        )
 
     return scene
 

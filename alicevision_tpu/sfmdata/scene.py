@@ -66,6 +66,15 @@ class SfMData:
     obs_scale: np.ndarray  # (O,) f64
     obs_feature: np.ndarray  # (O,) int64
 
+    # --- scene-model constraints (panorama/nodal pipelines) --------------
+    # ref: sfmData/SfMData.hpp:60-68 — Constraints2D (pairs of 2D
+    # observations of the same direction, Constraint2D.hpp) and rotation
+    # priors between views (RotationPrior.hpp). Stored as plain dicts:
+    #   constraints2d: {"view_i", "uv_i" (2,), "view_j", "uv_j" (2,)}
+    #   rotation_priors: {"view_i", "view_j", "R_j_i" (3,3) — second_R_first}
+    constraints2d: list = dataclasses.field(default_factory=list)
+    rotation_priors: list = dataclasses.field(default_factory=list)
+
     # ------------------------------------------------------------------
     @staticmethod
     def empty() -> "SfMData":

@@ -71,3 +71,33 @@ def test_photometric_filter_rejects_bad_matches():
     # keeps most good matches, rejects most bad ones
     assert kept_mask[is_good].mean() > 0.85
     assert kept_mask[~is_good].mean() < 0.25
+
+
+def test_kvld_virtual_line_filter():
+    """Full K-VLD: true matches across a shifted image survive; random
+    outlier matches are rejected (ref: matching/kvld/kvld.h)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from alicevision_tpu.matching.kvld import kvld_filter
+    from alicevision_tpu.image.filtering import gaussian_blur
+
+    rng = np.random.RandomState(0)
+    H, W, S = 160, 200, 12
+    base = rng.rand(H, W + S).astype(np.float32)
+    base = np.asarray(gaussian_blur(jnp.asarray(base), 2.0))
+    img1 = base[:, :W]
+    img2 = base[:, S:]
+
+    n_in, n_out = 40, 20
+    p1 = np.stack([rng.uniform(25, W - 25, n_in), rng.uniform(25, H - 25, n_in)], 1)
+    p2 = p1 - np.array([S, 0.0])  # true correspondence
+    o1 = np.stack([rng.uniform(25, W - 25, n_out), rng.uniform(25, H - 25, n_out)], 1)
+    o2 = np.stack([rng.uniform(25, W - 25, n_out), rng.uniform(25, H - 25, n_out)], 1)
+    xy1 = np.concatenate([p1, o1])
+    xy2 = np.concatenate([p2, o2])
+
+    keep = kvld_filter(img1, img2, xy1, xy2)
+    inlier_keep = keep[:n_in].mean()
+    outlier_keep = keep[n_in:].mean()
+    assert inlier_keep > 0.8, inlier_keep
+    assert outlier_keep < 0.3, outlier_keep

@@ -119,3 +119,31 @@ def test_retrieve_best_depth_subpixel():
     depth, sim = ps.retrieve_best_depth(jnp.asarray(cost), depths)
     d = float(np.asarray(depth)[4, 4])
     assert abs(1.0 / d - inv_true) < 0.1 * abs(inv[8] - inv[7])
+
+
+def test_sgm_eight_direction_aggregation():
+    """n_dirs=8 adds the diagonal paths (classic Hirschmuller SGM); on a
+    noisy volume with a smooth GT surface it should denoise at least as
+    well as the reference-default 4 paths."""
+    from alicevision_tpu.mvs.plane_sweep import SgmParams, sgm_aggregate
+
+    rng = np.random.RandomState(0)
+    H, W, D = 48, 64, 32
+    yy, xx = np.mgrid[0:H, 0:W]
+    gt = ((yy + xx) * (D - 8) // (H + W) + 4).astype(np.int64)  # diagonal ramp
+    cost = rng.rand(D, H, W).astype(np.float32) * 2.0
+    cost[gt, yy, xx] -= 1.5  # GT depth is cheap, plus noise
+    ref = ((yy + xx) % 7 / 7.0).astype(np.float32)
+
+    err = {}
+    for nd in (4, 8):
+        agg = np.asarray(sgm_aggregate(
+            jnp.asarray(cost), jnp.asarray(ref), SgmParams(n_depths=D, n_dirs=nd)
+        ))
+        assert np.isfinite(agg).all()
+        est = agg.argmin(axis=0)
+        err[nd] = np.abs(est - gt).mean()
+    assert err[8] <= err[4] + 0.05, err
+    # plain argmin of the raw volume must be worse than either
+    raw_err = np.abs(cost.argmin(axis=0) - gt).mean()
+    assert err[4] < raw_err and err[8] < raw_err

@@ -119,3 +119,68 @@ def test_matches_txt_roundtrip(tmp_path):
     assert set(back) == set(pm)
     for k in pm:
         np.testing.assert_array_equal(back[k], pm[k])
+
+
+def test_constraints2d_rotation_priors_roundtrip_and_refine(tmp_path):
+    """Constraints2D + rotation priors: SfMData round-trip through .sfm and
+    GN refinement of global rotations against them
+    (ref: sfmData/SfMData.hpp:60-68, Constraint2D.hpp, RotationPrior.hpp)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from alicevision_tpu import sfmdata
+    from alicevision_tpu import geometry as geo
+    from alicevision_tpu.sfm.rotation_sfm import refine_rotations_with_constraints
+
+    rng = np.random.default_rng(0)
+    V = 4
+    # GT rotations: small random attitude per view
+    ws = rng.normal(0, 0.3, (V, 3)).astype(np.float32)
+    R_gt = np.asarray(geo.so3_exp(jnp.asarray(ws)))
+
+    sc = sfmdata.SfMData.empty()
+    sc.add_intrinsic(1000, 640, 480, 400.0)
+    for v in range(V):
+        sc.add_view(v + 1, 0, 640, 480)
+    # priors between consecutive views, exact
+    for v in range(V - 1):
+        sc.rotation_priors.append({
+            "view_i": v, "view_j": v + 1,
+            "R_j_i": R_gt[v + 1] @ R_gt[v].T,
+        })
+    # constraints: random directions seen by consecutive pairs
+    for _ in range(30):
+        d = rng.normal(size=3)
+        d /= np.linalg.norm(d)
+        for v in range(V - 1):
+            bi = R_gt[v] @ d
+            bj = R_gt[v + 1] @ d
+            if bi[2] < 0.3 or bj[2] < 0.3:
+                continue
+            sc.constraints2d.append({
+                "view_i": v, "uv_i": 400.0 * bi[:2] / bi[2] + [320, 240],
+                "view_j": v + 1, "uv_j": 400.0 * bj[:2] / bj[2] + [320, 240],
+            })
+
+    p = tmp_path / "c.sfm"
+    sfmdata.save(sc, str(p))
+    sc2 = sfmdata.load(str(p))
+    assert len(sc2.rotation_priors) == V - 1
+    assert len(sc2.constraints2d) == len(sc.constraints2d)
+    np.testing.assert_allclose(
+        sc2.rotation_priors[0]["R_j_i"], sc.rotation_priors[0]["R_j_i"], atol=1e-9
+    )
+
+    # perturb rotations, refine against the loaded constraints
+    dw = rng.normal(0, 0.03, (V, 3)).astype(np.float32)
+    dw[0] = 0
+    R_pert = np.asarray(geo.so3_exp(jnp.asarray(dw))) @ R_gt
+    intr = sc2.intrinsics_table()
+    R_ref = refine_rotations_with_constraints(
+        R_pert, sc2.rotation_priors, sc2.constraints2d,
+        intr=intr, view_intrinsic=sc2.view_intrinsic,
+    )
+    # gauge: view 0 fixed at its perturbed value == GT (dw[0]=0)
+    for v in range(V):
+        ang = np.degrees(np.linalg.norm(np.asarray(
+            geo.so3_log(jnp.asarray((R_ref[v] @ R_gt[v].T)[None], jnp.float32)))[0]))
+        assert ang < 0.15, (v, ang)
