@@ -128,3 +128,105 @@ def test_calibrate_zhang_with_distortion():
     res = calibrate_zhang(obj, np.stack(img_pts), refine_iters=30)
     assert res["rms"] < 0.1, res["rms"]
     assert abs(res["dist"][0] - k1_gt) < 0.02, res["dist"]
+
+
+def _render_board(rows, cols, H=360, W=480, Hmat=None, k1=0.0, noise=0.0,
+                  shade=0.0, square=36, seed=0):
+    """Render a checkerboard with optional homography warp, radial
+    distortion, brightness gradient and noise; returns (img, gt_corners
+    (rows*cols, 2) row-major in the WARPED image)."""
+    rng = np.random.RandomState(seed)
+    bh, bw = (rows + 1) * square, (cols + 1) * square
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    # base board placed centered
+    ox, oy = (W - bw) / 2, (H - bh) / 2
+
+    def warp_inv(x, y):
+        # target pixel -> source board pixel (inverse homography + disto)
+        if k1 != 0.0:
+            cx, cy = W / 2, H / 2
+            r2 = ((x - cx) ** 2 + (y - cy) ** 2) / (0.5 * min(H, W)) ** 2
+            s = 1.0 + k1 * r2
+            x = cx + (x - cx) * s
+            y = cy + (y - cy) * s
+        if Hmat is not None:
+            Hi = np.linalg.inv(Hmat)
+            w = Hi[2, 0] * x + Hi[2, 1] * y + Hi[2, 2]
+            xs = (Hi[0, 0] * x + Hi[0, 1] * y + Hi[0, 2]) / w
+            ys = (Hi[1, 0] * x + Hi[1, 1] * y + Hi[1, 2]) / w
+            return xs, ys
+        return x, y
+
+    sx, sy = warp_inv(xx, yy)
+    bx = np.floor((sx - ox) / square).astype(np.int64)
+    by = np.floor((sy - oy) / square).astype(np.int64)
+    inside = (sx >= ox) & (sx < ox + bw) & (sy >= oy) & (sy < oy + bh)
+    img = np.where(inside & (((bx + by) % 2) == 0), 1.0, 0.25)
+    img = np.where(inside, img, 0.6)
+    if shade:
+        img = img * (1.0 - shade * xx / W)
+    if noise:
+        img = img + rng.normal(0, noise, img.shape)
+    img = np.clip(img, 0, 1).astype(np.float32)
+
+    # GT inner corners (forward map)
+    gt = []
+    for r in range(rows):
+        for c in range(cols):
+            x, y = ox + (c + 1) * square, oy + (r + 1) * square
+            if Hmat is not None:
+                w = Hmat[2, 0] * x + Hmat[2, 1] * y + Hmat[2, 2]
+                x, y = (
+                    (Hmat[0, 0] * x + Hmat[0, 1] * y + Hmat[0, 2]) / w,
+                    (Hmat[1, 0] * x + Hmat[1, 1] * y + Hmat[1, 2]) / w,
+                )
+            if k1 != 0.0:
+                # invert the display-side undistort numerically
+                cx, cy = W / 2, H / 2
+                px, py = x, y
+                for _ in range(20):
+                    r2 = ((px - cx) ** 2 + (py - cy) ** 2) / (0.5 * min(H, W)) ** 2
+                    s = 1.0 + k1 * r2
+                    px, py = cx + (x - cx) / s, cy + (y - cy) / s
+                x, y = px, py
+            gt.append([x, y])
+    return img, np.array(gt)
+
+
+def _match_grid(det, gt, rows, cols):
+    """Best alignment of detected grid to GT over the 8 grid symmetries."""
+    det = det.reshape(rows, cols, 2)
+    gtg = gt.reshape(rows, cols, 2)
+    best = np.inf
+    cands = [det, det[::-1], det[:, ::-1], det[::-1, ::-1]]
+    if rows == cols:
+        t = det.transpose(1, 0, 2)
+        cands += [t, t[::-1], t[:, ::-1], t[::-1, ::-1]]
+    for c in cands:
+        err = np.linalg.norm(c - gtg, axis=-1).mean()
+        best = min(best, err)
+    return best
+
+
+def test_checkerboard_perspective_warp():
+    """Board growing survives a strong perspective warp
+    (ref: checkerDetector.cpp growing vs our old global-lattice fit)."""
+    Hmat = np.array([
+        [0.95, 0.12, 12.0],
+        [-0.08, 0.9, 18.0],
+        [2.0e-4, 3.5e-4, 1.0],
+    ])
+    img, gt = _render_board(5, 7, Hmat=Hmat, noise=0.01)
+    det = detect_checkerboard(jnp.asarray(img), 5, 7)
+    assert det is not None
+    err = _match_grid(det, gt, 5, 7)
+    assert err < 1.0, err
+
+
+def test_checkerboard_distorted_noisy_shaded():
+    """Radial distortion + noise + brightness gradient."""
+    img, gt = _render_board(5, 7, k1=-0.12, noise=0.03, shade=0.35, seed=2)
+    det = detect_checkerboard(jnp.asarray(img), 5, 7)
+    assert det is not None
+    err = _match_grid(det, gt, 5, 7)
+    assert err < 1.2, err
