@@ -1308,19 +1308,24 @@ def _image_masking(args):
 # ---------------------------------------------------------------------------
 
 
-def _build_landmark_index_from_features(sc, features_folder):
-    """Mean descriptor per landmark via obs (view, feature) ids."""
+def _obs_descriptors(sc, features_folder):
     import numpy as np
 
-    from ..localization import build_landmark_index
     from .stages import load_features
 
     descs = {}
     for v in np.unique(sc.obs_view):
         descs[int(v)] = load_features(features_folder, int(sc.view_ids[v]))["desc"]
-    obs_desc = np.stack(
+    return np.stack(
         [descs[int(v)][int(f)] for v, f in zip(sc.obs_view, sc.obs_feature)]
     ).astype(np.float32)
+
+
+def _build_landmark_index_from_features(sc, features_folder):
+    """Mean descriptor per landmark via obs (view, feature) ids."""
+    from ..localization import build_landmark_index
+
+    obs_desc = _obs_descriptors(sc, features_folder)
     return build_landmark_index(sc.points, sc.obs_landmark, obs_desc)
 
 
@@ -1331,13 +1336,17 @@ def _setup_camera_loc(p):
     p.add_argument("--output", required=True, help="poses .json")
     p.add_argument("--maxKeypoints", type=int, default=2048)
     p.add_argument("--downscaleTo", type=int, default=1024)
+    p.add_argument("--method", default="voctree", choices=["voctree", "direct"],
+                   help="voctree: retrieval-restricted matching "
+                        "(VoctreeLocalizer.hpp); direct: landmark index")
 
 
 @command("cameraLocalization", _setup_camera_loc)
 def _camera_localization(args):
     """ref: src/software/pipeline/main_cameraLocalization.cpp,
-    localization/VoctreeLocalizer.hpp:34-153 (retrieval step replaced by
-    direct 2D-3D descriptor matching against the landmark index)."""
+    localization/VoctreeLocalizer.hpp:34-153 — method=voctree retrieves the
+    most similar database views and matches only their observations;
+    method=direct matches the mean-descriptor landmark index."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -1349,7 +1358,16 @@ def _camera_localization(args):
     from ..localization import localize_image
 
     sc = sfmdata.load(args.input)
-    lm_desc, lm_pts = _build_landmark_index_from_features(sc, args.features)
+    method = getattr(args, "method", "direct")
+    if method == "voctree":
+        from ..localization.voctree_localizer import VoctreeLocalizer
+
+        vloc = VoctreeLocalizer(
+            sc.points, sc.obs_landmark, sc.obs_view,
+            _obs_descriptors(sc, args.features),
+        )
+    else:
+        lm_desc, lm_pts = _build_landmark_index_from_features(sc, args.features)
     fx = float(np.mean(sc.scale[:, 0]))
     w, h = float(sc.sizes[0, 0]), float(sc.sizes[0, 1])
     intr = sc.intrinsics_table()
@@ -1380,9 +1398,12 @@ def _camera_localization(args):
         p = camm.ima2cam(row, jnp.asarray(xy, jnp.float32))
         p = camm.remove_distortion(row.disto_kind, row.disto, p)
         key, k1 = jax.random.split(key)
-        res = localize_image(
-            k1, lm_desc, lm_pts, desc, np.asarray(p), fx, (w, h)
-        )
+        if method == "voctree":
+            res = vloc.localize(k1, desc, np.asarray(p), fx, (w, h))
+        else:
+            res = localize_image(
+                k1, lm_desc, lm_pts, desc, np.asarray(p), fx, (w, h)
+            )
         results[fname] = {
             "success": bool(res.success),
             "n_inliers": int(res.n_inliers),

@@ -52,3 +52,36 @@ def test_expansion_augmentation_mode():
     # history should not contain a second 'init'
     inits = [h for h in res.history if h[0] == "init"]
     assert len(inits) == 1
+
+
+def test_expansion_history_and_checkpoint(tmp_path):
+    """History records epochs; the checkpoint restores mid-reconstruction
+    state into a fresh engine (ExpansionHistory.hpp analog)."""
+    from alicevision_tpu.sfm.expansion import ExpansionHistory
+
+    ckpt = str(tmp_path / "state.npz")
+    scene, eng = _make_engine()
+    proc = ExpansionProcess(eng, checkpoint_path=ckpt)
+    res = proc.process()
+    assert res.posed.sum() == 8
+    assert len(proc.history.epochs) >= 1
+    assert proc.history.epochs[-1]["n_posed"] == 8
+
+    # restore into a fresh engine: state matches, expansion is a no-op
+    scene2, eng2 = _make_engine()
+    ExpansionHistory.load(eng2, ckpt)
+    assert eng2.res.posed.sum() == res.posed.sum()
+    np.testing.assert_allclose(eng2.res.pose_c, res.pose_c, atol=1e-12)
+    res2 = ExpansionProcess(eng2).process()  # augmentation mode, no init
+    assert res2.posed.sum() == 8
+
+
+def test_expansion_lba_policy_connexity():
+    from alicevision_tpu.sfm.expansion import LbaPolicyConnexity
+
+    scene, eng = _make_engine()
+    ExpansionProcess(eng).process()
+    mask = LbaPolicyConnexity(distance=1).fixed_mask(eng, [0])
+    # views covisible with view 0 stay refined (not fixed)
+    assert mask.dtype == bool and mask.shape == (8,)
+    assert not mask[0]
