@@ -223,23 +223,50 @@ def _detect_octave(gauss: jnp.ndarray, step: float, cfg: SiftConfig, k_budget: i
 # ---------------------------------------------------------------------------
 
 
-def _gather_rotated_patch(img, cx, cy, spacing, angle, G):
+def _gather_rotated_patch(img, cx, cy, spacing, angle, G, lvl=None):
     """Resample a (G+2)x(G+2) grid centered at (cx, cy), rotated by angle,
-    with the given spacing (octave pixels per grid step)."""
+    with the given spacing (octave pixels per grid step).
+
+    `img` is either one (H, W) level, or the whole (L, H, W) gaussian stack
+    with `lvl` the (traced) level index. The stack form folds the level
+    into the gather indices: `stack[lvl_i]` under vmap would materialize a
+    full image PER KEYPOINT (a 30 GB intermediate at 10k keypoints x 10 DSP
+    scales on a 1024x768 octave — measured as a TPU HBM OOM), while a
+    3-coordinate tap gathers only the 4 bilinear corners per sample."""
     g = jnp.arange(G + 2, dtype=jnp.float32) - (G + 1) / 2.0
     gy, gx = jnp.meshgrid(g, g, indexing="ij")
     ca, sa = jnp.cos(angle), jnp.sin(angle)
     sx = spacing * (ca * gx - sa * gy) + cx
     sy = spacing * (sa * gx + ca * gy) + cy
-    return bilinear_sample(img, jnp.stack([sx, sy], axis=-1))
+    if lvl is None:
+        return bilinear_sample(img, jnp.stack([sx, sy], axis=-1))
+    H, W = img.shape[-2], img.shape[-1]
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        inside = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        v = img[lvl, jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+        return jnp.where(inside, v, 0.0)
+
+    return (
+        tap(y0i, x0i) * (1 - fx) * (1 - fy)
+        + tap(y0i, x0i + 1) * fx * (1 - fy)
+        + tap(y0i + 1, x0i) * (1 - fx) * fy
+        + tap(y0i + 1, x0i + 1) * fx * fy
+    )
 
 
-def _orientation(img, cx, cy, sigma_oct):
+def _orientation(img, cx, cy, sigma_oct, lvl=None):
     """Dominant gradient orientation (VLFeat-style 36-bin histogram)."""
     G = 16
     win = 3.0 * 1.5 * sigma_oct  # window radius
     spacing = 2.0 * win / G
-    patch = _gather_rotated_patch(img, cx, cy, spacing, 0.0, G)
+    patch = _gather_rotated_patch(img, cx, cy, spacing, 0.0, G, lvl=lvl)
     gx = 0.5 * (patch[1:-1, 2:] - patch[1:-1, :-2])
     gy = 0.5 * (patch[2:, 1:-1] - patch[:-2, 1:-1])
     mag = jnp.sqrt(gx * gx + gy * gy)
@@ -268,14 +295,14 @@ def _orientation(img, cx, cy, sigma_oct):
     return theta
 
 
-def _descriptor_raw(img, cx, cy, sigma_oct, angle, cfg: SiftConfig):
+def _descriptor_raw(img, cx, cy, sigma_oct, angle, cfg: SiftConfig, lvl=None):
     """Unnormalized 128-dim descriptor (trilinear binning, Gaussian weight)."""
     NBP = cfg.n_spatial_bins
     NBO = cfg.n_ori_bins
     G = cfg.patch_grid
     win = cfg.magnif * sigma_oct * NBP / 2.0  # half-size of the window
     spacing = 2.0 * win / G
-    patch = _gather_rotated_patch(img, cx, cy, spacing, angle, G)
+    patch = _gather_rotated_patch(img, cx, cy, spacing, angle, G, lvl=lvl)
     gx = 0.5 * (patch[1:-1, 2:] - patch[1:-1, :-2])
     gy = 0.5 * (patch[2:, 1:-1] - patch[:-2, 1:-1])
     mag = jnp.sqrt(gx * gx + gy * gy)
@@ -353,9 +380,11 @@ def extract(img: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> SiftFeatures:
         )
 
         # Per-keypoint orientation + descriptor on its gaussian level.
+        # The level is passed as a gather coordinate into the (L, H, W)
+        # stack — indexing `gauss[level_i]` here would broadcast a full
+        # image per keypoint under vmap (see _gather_rotated_patch).
         def per_kp(level_i, x_i, y_i, sig_i):
-            lvl_img = gauss[level_i]
-            theta = _orientation(lvl_img, x_i, y_i, sig_i)
+            theta = _orientation(gauss, x_i, y_i, sig_i, lvl=level_i)
             if cfg.dsp:
                 scales = jnp.linspace(cfg.dsp_min, cfg.dsp_max, cfg.dsp_n_scales)
                 # Sample each pooled domain from the gaussian level whose
@@ -369,7 +398,9 @@ def extract(img: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> SiftFeatures:
                 def desc_at(s):
                     dl = jnp.round(jnp.log2(s) * cfg.n_scales).astype(jnp.int32)
                     li = jnp.clip(level_i + dl, 0, n_lvls - 1)
-                    return _descriptor_raw(gauss[li], x_i, y_i, sig_i * s, theta, cfg)
+                    return _descriptor_raw(
+                        gauss, x_i, y_i, sig_i * s, theta, cfg, lvl=li
+                    )
 
                 descs = jax.vmap(desc_at)(scales)
                 # L2-normalize per scale BEFORE pooling: the raw finite-
@@ -382,7 +413,9 @@ def extract(img: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> SiftFeatures:
                 ).clip(1e-12)
                 d = jnp.mean(descs, axis=0)
             else:
-                d = _descriptor_raw(lvl_img, x_i, y_i, sig_i, theta, cfg)
+                d = _descriptor_raw(
+                    gauss, x_i, y_i, sig_i, theta, cfg, lvl=level_i
+                )
             return theta, _normalize_desc(d, cfg)
 
         theta, desc = jax.vmap(per_kp)(level, x_o, y_o, sig_o)

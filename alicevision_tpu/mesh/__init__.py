@@ -1,3 +1,4 @@
+from .clean import boundary_loops, clean_mesh, fill_small_holes
 from .delaunay_graphcut import graph_cut_surface, tetrahedralize
 from .denoise import denoise_sd, mask_faces_by_views, resample
 from .lscm import conformal_error, lscm_unwrap
@@ -15,6 +16,9 @@ from .texturing import bake_vertex_colors
 
 __all__ = [
     "bake_vertex_colors",
+    "boundary_loops",
+    "clean_mesh",
+    "fill_small_holes",
     "compact",
     "conformal_error",
     "lscm_unwrap",

@@ -163,6 +163,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True)
     p.add_argument("--smoothIters", type=int, default=5)
     p.add_argument("--keepRatio", type=float, default=0.0)
+    p.add_argument("--clean", action="store_true",
+                   help="manifold repair (MeshClean): degenerate/duplicate "
+                        "faces, non-manifold edges, bowtie vertices")
+    p.add_argument("--fillHolesMaxEdges", type=int, default=0,
+                   help="fan-fill boundary loops up to this many edges")
     _add_common(p)
 
     p = sub.add_parser("meshDecimate")
@@ -536,9 +541,19 @@ def _dispatch_inner(args) -> int:
             args.maxPoints, images_folder=args.images,
         )
     elif args.cmd == "meshFiltering":
-        from ..mesh import laplacian_smooth, largest_component, load_obj, save_obj
+        from ..mesh import (
+            clean_mesh,
+            laplacian_smooth,
+            largest_component,
+            load_obj,
+            save_obj,
+        )
 
         v, f = load_obj(args.input)
+        if args.clean or args.fillHolesMaxEdges > 2:
+            v, f = clean_mesh(
+                v, f, fill_holes_max_edges=args.fillHolesMaxEdges
+            )
         v, f = largest_component(v, f, keep_ratio=args.keepRatio)
         v = laplacian_smooth(v, f, iterations=args.smoothIters)
         save_obj(args.output, v, f)

@@ -1261,20 +1261,28 @@ def _sphere_detection(args):
 def _setup_image_masking(p):
     p.add_argument("--input", required=True, help="image or folder")
     p.add_argument("--output", required=True, help="mask png or folder")
+    p.add_argument("--algorithm", default="hsv",
+                   choices=["hsv", "autoGrayscaleThreshold"],
+                   help="masking algorithm (ref main_imageMasking.cpp:95)")
     p.add_argument("--hsvMin", default="0,0,0")
     p.add_argument("--hsvMax", default="1,1,1")
     p.add_argument("--invert", action="store_true")
+    p.add_argument("--growRadius", type=int, default=0,
+                   help="dilate the mask (ref main_imageMasking.cpp:144)")
+    p.add_argument("--shrinkRadius", type=int, default=0,
+                   help="erode the mask (ref main_imageMasking.cpp:146)")
 
 
 @command("imageMasking", _setup_image_masking)
 def _image_masking(args):
-    """HSV-box masking (ref: src/software/pipeline/main_imageMasking.cpp,
+    """HSV-box / Otsu masking with grow/shrink postprocessing
+    (ref: src/software/pipeline/main_imageMasking.cpp,
     imageMasking/imageMasking.cpp)."""
     import numpy as np
     import jax.numpy as jnp
 
     from ..image.io import read_image, write_image
-    from ..misc.masking import hsv_mask
+    from ..misc.masking import auto_threshold_mask, dilate, erode, hsv_mask
 
     lo = [float(x) for x in args.hsvMin.split(",")]
     hi = [float(x) for x in args.hsvMax.split(",")]
@@ -1295,10 +1303,21 @@ def _image_masking(args):
         img = read_image(src)
         if img.ndim == 2:
             img = np.stack([img] * 3, -1)
-        m = hsv_mask(
-            jnp.asarray(img), h_range=(lo[0], hi[0]), s_range=(lo[1], hi[1]),
-            v_range=(lo[2], hi[2]), invert=args.invert,
-        )
+        if args.algorithm == "autoGrayscaleThreshold":
+            gray = jnp.asarray(img).mean(axis=-1)
+            m = auto_threshold_mask(gray)
+            if args.invert:
+                m = ~m
+        else:
+            m = hsv_mask(
+                jnp.asarray(img), h_range=(lo[0], hi[0]),
+                s_range=(lo[1], hi[1]),
+                v_range=(lo[2], hi[2]), invert=args.invert,
+            )
+        if args.growRadius > 0:
+            m = dilate(m, args.growRadius)
+        if args.shrinkRadius > 0:
+            m = erode(m, args.shrinkRadius)
         write_image(dst, np.asarray(m, np.float32))
     print(json.dumps({"masks": len(pairs)}))
 

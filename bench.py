@@ -338,6 +338,7 @@ def bench_e2e_cpu():
             img_dir = os.path.join(d, "imgs")
             os.makedirs(img_dir)
             make_test_dataset(img_dir, n_views=10, wh=(480, 360), focal=400.0)
+            os.makedirs(os.path.join(d, "w1"))
             run_once(img_dir, os.path.join(d, "w1"))  # warm jit caches
             os.makedirs(os.path.join(d, "w2"))
             t0 = time.perf_counter()
