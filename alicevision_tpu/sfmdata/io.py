@@ -211,8 +211,12 @@ def save_sfm(scene: SfMData, path: str, save_structure: bool = True) -> None:
             for p in scene.rotation_priors
         ]
 
-    with open(path, "w") as f:
+    # write-then-rename: a stage killed mid-write never leaves a truncated
+    # scene file for a resuming orchestrator to trip over
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(out, f, indent=1)
+    os.replace(tmp, path)
 
 
 def load_sfm(path: str) -> SfMData:
