@@ -307,6 +307,79 @@ def bench_features():
     return 1.0 / max(best - rtt, 1e-9)
 
 
+def bench_matching():
+    """BASELINE config 2: voctree retrieval + cascade-hash guided pair
+    matching at 100 images (ref operating point: 128-bit hash, top-2 NN,
+    ratio 0.8 — matching/CascadeHasher.hpp:80). Reports matched pairs/s
+    on-chip; the voctree side (BoW + inverted-file query) is host+device
+    and included in `extra` as a wall time."""
+    import jax
+    import jax.numpy as jnp
+
+    from alicevision_tpu.matching import voctree as vt
+    from alicevision_tpu.matching.descriptor_matching import match_cascade_hash
+
+    rng = np.random.RandomState(0)
+    n_img, n_desc, D = 100, 2000, 128
+    # a pool of unique "3D point" descriptors; image i observes a sliding
+    # window of the pool, so sequential neighbours share most points (true
+    # one-to-one correspondences that survive the ratio test) and distant
+    # views share none — the covisibility structure voctree retrieval must
+    # recover
+    n_pts = 20000
+    pool = rng.rand(n_pts, D).astype(np.float32)
+    descs = np.empty((n_img, n_desc, D), np.float32)
+    step_w = (n_pts - n_desc) // max(n_img - 1, 1)
+    for i in range(n_img):
+        sel = (i * step_w + np.arange(n_desc)) % n_pts
+        descs[i] = pool[sel] + 0.05 * rng.randn(n_desc, D)
+    descs /= np.linalg.norm(descs, axis=-1, keepdims=True)
+
+    t_voc0 = time.perf_counter()
+    key = jax.random.PRNGKey(0)
+    sample = descs.reshape(-1, D)[:: max(1, (n_img * n_desc) // 20000)]
+    tree = vt.build_voctree(key, jnp.asarray(sample), n_children=8, n_levels=3)
+    valid = jnp.ones(n_desc, bool)
+    bows = jnp.stack(
+        [vt.bow_vector(tree, jnp.asarray(descs[i]), valid) for i in range(n_img)]
+    )
+    db = vt.build_database(tree, bows)
+    pairs = vt.query_pairs(db, n_neighbors=10)
+    voctree_wall = time.perf_counter() - t_voc0
+
+    # cascade-hash matching of the retrieved pairs, batched on-chip
+    proj = jnp.asarray(rng.randn(D, 128).astype(np.float32))
+    mean = jnp.asarray(descs.mean((0, 1)))
+    d_dev = jax.device_put(jnp.asarray(descs))
+    B = 8
+
+    @jax.jit
+    def match_chunk(ii, jj):
+        def one(i, j):
+            m = match_cascade_hash(
+                d_dev[i], d_dev[j], valid, valid, proj, mean
+            )
+            return jnp.sum(m.idx2 >= 0)
+
+        return jnp.sum(jax.vmap(one)(ii, jj))
+
+    n_pairs = (len(pairs) // B) * B
+    pi = jnp.asarray(pairs[:n_pairs, 0]).reshape(-1, B)
+    pj = jnp.asarray(pairs[:n_pairs, 1]).reshape(-1, B)
+    total = int(sum(int(match_chunk(a, b)) for a, b in zip(pi, pj)))  # warm
+    rtt = _rtt_baseline()
+    t0 = time.perf_counter()
+    acc = 0
+    for a, b in zip(pi, pj):
+        acc += int(match_chunk(a, b))
+    dt = max(time.perf_counter() - t0 - rtt * len(pi), 1e-9)
+    assert acc == total and total > 0
+    return {
+        "match_pairs_per_s_100img_voctree": round(n_pairs / dt, 3),
+        "voctree_build_query_wall_s_100img": round(voctree_wall, 1),
+    }
+
+
 def bench_e2e_cpu():
     """10-image pipeline wall time on CPU jax (BASELINE config 1),
     steady-state: second in-process run (module-level jit caches warm)."""
@@ -371,6 +444,7 @@ SECTIONS = {
     "features": lambda: {
         "feature_extraction_images_per_s": round(bench_features(), 3)
     },
+    "matching": bench_matching,
     "e2e": lambda: {"e2e_10img_wall_s": round(bench_e2e_cpu(), 1)},
 }
 
