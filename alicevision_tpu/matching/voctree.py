@@ -35,8 +35,20 @@ class VocTree(NamedTuple):
 
 def _kmeans(key, X, k, iters=10):
     """Plain batched k-means on (N, D); returns (k, D) centers."""
-    N = X.shape[0]
-    idx = jax.random.choice(key, N, (k,), replace=N < k)
+    return _kmeans_masked(key, X, jnp.ones(X.shape[0], bool), k, iters)
+
+
+@partial(jax.jit, static_argnames=("k", "iters"))
+def _kmeans_masked(key, X, valid, k, iters=10):
+    """Masked k-means on padded (Ncap, D): invalid rows carry zero weight.
+
+    The padding exists so every tree node trains through ONE jitted
+    program per power-of-two bucket — per-node exact shapes meant one XLA
+    compile per node (measured: a 3-level/8-child build spent ~15 min in
+    72 relay compiles; bucketed it is a handful)."""
+    w = valid.astype(X.dtype)
+    p = w / jnp.maximum(w.sum(), 1.0)
+    idx = jax.random.choice(key, X.shape[0], (k,), replace=True, p=p)
     centers = X[idx]
 
     def step(centers, _):
@@ -46,7 +58,7 @@ def _kmeans(key, X, k, iters=10):
             + jnp.sum(centers * centers, -1)[None, :]
         )
         assign = jnp.argmin(d, -1)
-        onehot = jax.nn.one_hot(assign, k, dtype=X.dtype)
+        onehot = jax.nn.one_hot(assign, k, dtype=X.dtype) * w[:, None]
         counts = onehot.sum(0)
         sums = onehot.T @ X
         new = jnp.where(counts[:, None] > 0, sums / counts[:, None].clip(1), centers)
@@ -71,20 +83,36 @@ def build_voctree(
     """
     D = descriptors.shape[1]
     X = np.asarray(descriptors, np.float32)
+    rng = np.random.RandomState(0)
+    max_node_samples = 8192  # cap per-node training set (offline quality knob)
     assign = np.zeros(len(X), np.int64)  # node id at current level
     levels = []
     for l in range(n_levels):
         n_nodes = n_children ** (l + 1)
         centers_l = np.zeros((n_nodes, D), np.float32)
         for parent in range(n_children**l):
-            sel = assign == parent
+            sel = np.nonzero(assign == parent)[0]
             key, k1 = jax.random.split(key)
-            if sel.sum() >= n_children:
-                c = np.asarray(_kmeans(k1, jnp.asarray(X[sel]), n_children, kmeans_iters))
+            if len(sel) >= n_children:
+                if len(sel) > max_node_samples:
+                    sel = rng.choice(sel, max_node_samples, replace=False)
+                # pad to a power-of-two bucket: one compile per bucket, not
+                # one per node (see _kmeans_masked)
+                cap = max(64, 1 << int(np.ceil(np.log2(len(sel)))))
+                Xp = np.zeros((cap, D), np.float32)
+                Xp[: len(sel)] = X[sel]
+                vmask = np.zeros(cap, bool)
+                vmask[: len(sel)] = True
+                c = np.asarray(
+                    _kmeans_masked(
+                        k1, jnp.asarray(Xp), jnp.asarray(vmask),
+                        n_children, kmeans_iters,
+                    )
+                )
             else:
                 c = np.zeros((n_children, D), np.float32)
-                if sel.sum() > 0:
-                    c[: sel.sum()] = X[sel]
+                if len(sel) > 0:
+                    c[: len(sel)] = X[sel]
             centers_l[parent * n_children : (parent + 1) * n_children] = c
         # reassign
         child_of = np.zeros(len(X), np.int64)

@@ -335,16 +335,22 @@ def bench_matching():
         descs[i] = pool[sel] + 0.05 * rng.randn(n_desc, D)
     descs /= np.linalg.norm(descs, axis=-1, keepdims=True)
 
+    # tree training + retrieval run on the host CPU backend (offline-side
+    # work, thousands of tiny ops — relay dispatch would dominate);
+    # quantization of all 200k descriptors is ONE batched call
     t_voc0 = time.perf_counter()
-    key = jax.random.PRNGKey(0)
-    sample = descs.reshape(-1, D)[:: max(1, (n_img * n_desc) // 20000)]
-    tree = vt.build_voctree(key, jnp.asarray(sample), n_children=8, n_levels=3)
-    valid = jnp.ones(n_desc, bool)
-    bows = jnp.stack(
-        [vt.bow_vector(tree, jnp.asarray(descs[i]), valid) for i in range(n_img)]
-    )
-    db = vt.build_database(tree, bows)
-    pairs = vt.query_pairs(db, n_neighbors=10)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        key = jax.random.PRNGKey(0)
+        sample = descs.reshape(-1, D)[:: max(1, (n_img * n_desc) // 20000)]
+        tree = vt.build_voctree(key, jnp.asarray(sample), n_children=8,
+                                n_levels=3)
+        valid = jnp.ones(n_desc, bool)
+        bows = jax.jit(
+            jax.vmap(lambda d: vt.bow_vector(tree, d, valid))
+        )(jnp.asarray(descs))
+        db = vt.build_database(tree, bows)
+        pairs = vt.query_pairs(db, n_neighbors=10)
     voctree_wall = time.perf_counter() - t_voc0
 
     # cascade-hash matching of the retrieved pairs, batched on-chip
