@@ -179,10 +179,14 @@ def _detect_octave(gauss: jnp.ndarray, step: float, cfg: SiftConfig, k_budget: i
     x_idx = rem % W
 
     # Subpixel refinement: 3D quadratic fit about each candidate.
+    dog_flat = dog.reshape(-1)
+
     def fit(si, yi, xi):
-        # 3x3x3 neighbourhood values from dog (level si+1 is the center).
+        # 3x3x3 neighbourhood values from dog (level si+1 is the center);
+        # flat 1-D takes — the 3-D advanced-indexing gather is ~25x slower
         def val(ds, dy, dx):
-            return dog[si + 1 + ds, yi + dy, xi + dx]
+            lin = ((si + 1 + ds) * H + (yi + dy)) * W + (xi + dx)
+            return jnp.take(dog_flat, lin)
 
         g = jnp.stack(
             [
@@ -248,9 +252,12 @@ def _gather_rotated_patch(img, cx, cy, spacing, angle, G, lvl=None):
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
+    flat = img.reshape(-1)  # flat 1-D take: ~25x faster than N-D gather
+
     def tap(yi, xi):
         inside = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-        v = img[lvl, jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+        lin = (lvl * H + jnp.clip(yi, 0, H - 1)) * W + jnp.clip(xi, 0, W - 1)
+        v = jnp.take(flat, lin.reshape(-1)).reshape(lin.shape)
         return jnp.where(inside, v, 0.0)
 
     return (
@@ -280,7 +287,10 @@ def _orientation(img, cx, cy, sigma_oct, lvl=None):
     nb = 36
     bin_f = (ang + jnp.pi) / (2 * jnp.pi) * nb
     b0 = jnp.floor(bin_f).astype(jnp.int32) % nb
-    hist = jnp.zeros((nb,)).at[b0.reshape(-1)].add(w.reshape(-1))
+    # one-hot contraction instead of scatter-add: rides the VPU/MXU and
+    # batches cleanly under vmap (scatters serialize on TPU)
+    onehot = (b0.reshape(-1, 1) == jnp.arange(nb)[None, :]).astype(w.dtype)
+    hist = w.reshape(-1) @ onehot
     # Circular smoothing (6 passes of [1,1,1]/3 like VLFeat).
     for _ in range(6):
         hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
@@ -316,37 +326,59 @@ def _descriptor_raw(img, cx, cy, sigma_oct, angle, cfg: SiftConfig, lvl=None):
     r2 = (xx - 0.5) ** 2 + (yy - 0.5) ** 2
     wg = jnp.exp(-r2 / (2.0 * 0.25**2)) * mag
 
-    # Continuous bin coords in [0, NBP).
-    bx = xx * NBP - 0.5
-    by = yy * NBP - 0.5
+    # Trilinear binning as ONE (NBP^2, G^2) @ (G^2, NBO) matmul: the spatial
+    # bin weights depend only on the (static) grid geometry, so they are a
+    # precomputed constant matrix; only the orientation one-hot is data-
+    # dependent. Replaces 8 scatter-adds per keypoint (scatters serialize
+    # on TPU; the matmul rides the MXU and batches under vmap).
     bo = (ang % (2 * jnp.pi)) / (2 * jnp.pi) * NBO
+    o0 = jnp.floor(bo)
+    fo = bo - o0
+    i0 = o0.astype(jnp.int32) % NBO
+    i1 = (i0 + 1) % NBO
+    obins = jnp.arange(NBO)[None, :]
+    V = wg.reshape(-1, 1) * (
+        (i0.reshape(-1, 1) == obins) * (1 - fo).reshape(-1, 1)
+        + (i1.reshape(-1, 1) == obins) * fo.reshape(-1, 1)
+    )  # (G^2, NBO)
+    S = jnp.asarray(_spatial_bin_matrix(NBP, G))  # (NBP^2, G^2) static
+    return (S @ V).reshape(-1)  # (128,)
 
-    def tri(coord, nbins, wrap):
-        c0 = jnp.floor(coord)
-        f = coord - c0
-        i0 = c0.astype(jnp.int32)
-        i1 = i0 + 1
-        if wrap:
-            i0 = i0 % nbins
-            i1 = i1 % nbins
-            ok0 = jnp.ones_like(f, bool)
-            ok1 = jnp.ones_like(f, bool)
-        else:
-            ok0 = (i0 >= 0) & (i0 < nbins)
-            ok1 = (i1 >= 0) & (i1 < nbins)
-            i0 = jnp.clip(i0, 0, nbins - 1)
-            i1 = jnp.clip(i1, 0, nbins - 1)
-        return (i0, (1 - f) * ok0), (i1, f * ok1)
 
-    acc = jnp.zeros((NBP, NBP, NBO))
-    for iy, wy in tri(by, NBP, False):
-        for ix, wx in tri(bx, NBP, False):
-            for io, wo in tri(bo, NBO, True):
-                wfull = wg * wy * wx * wo
-                acc = acc.at[iy.reshape(-1), ix.reshape(-1), io.reshape(-1)].add(
-                    wfull.reshape(-1)
-                )
-    return acc.reshape(-1)  # (128,)
+_SPATIAL_CACHE: dict = {}
+
+
+def _spatial_bin_matrix(NBP: int, G: int):
+    """Static (NBP^2, G^2) bilinear spatial-bin weight matrix: entry
+    [(p*NBP+q), cell] is the weight of grid cell `cell` in spatial bin
+    (p, q) under the descriptor's trilinear interpolation."""
+    import numpy as np
+
+    key = (NBP, G)
+    if key in _SPATIAL_CACHE:
+        return _SPATIAL_CACHE[key]
+    g = (np.arange(G, dtype=np.float64) + 0.5) / G
+    yy, xx = np.meshgrid(g, g, indexing="ij")
+    bx = (xx * NBP - 0.5).reshape(-1)
+    by = (yy * NBP - 0.5).reshape(-1)
+    S = np.zeros((NBP, NBP, G * G), np.float32)
+    y0 = np.floor(by)
+    x0 = np.floor(bx)
+    fy = by - y0
+    fx = bx - x0
+    cells = np.arange(G * G)
+    for iy, wy in ((y0.astype(int), 1 - fy), (y0.astype(int) + 1, fy)):
+        oky = (iy >= 0) & (iy < NBP)
+        for ix, wx in ((x0.astype(int), 1 - fx), (x0.astype(int) + 1, fx)):
+            okx = (ix >= 0) & (ix < NBP)
+            ok = oky & okx
+            np.add.at(
+                S,
+                (iy.clip(0, NBP - 1), ix.clip(0, NBP - 1), cells),
+                np.where(ok, wy * wx, 0.0),
+            )
+    _SPATIAL_CACHE[key] = S.reshape(NBP * NBP, G * G)
+    return _SPATIAL_CACHE[key]
 
 
 def _normalize_desc(d, cfg: SiftConfig):

@@ -122,8 +122,9 @@ def refine_sequence(
     pose blocks — the focal/forward-translation coupling that makes naive
     pose/focal alternation crawl is solved exactly (same structure as the
     reference's joint Ceres problem in optimization.cpp refineSequence).
-    Every per-frame quantity is one vmapped batch; `pose_iters` GN
-    sub-steps run per round.
+    Every per-frame quantity is one vmapped batch; `n_rounds * pose_iters`
+    joint Schur GN steps run in total (the two knobs exist for signature
+    parity with the alternating API; each step is a full joint solve).
     """
     from ..geometry.rotations import so3_exp
 
@@ -181,7 +182,7 @@ def refine_sequence(
         (jnp.asarray(R0, jnp.float32), jnp.asarray(t0, jnp.float32),
          jnp.asarray(focal0, jnp.float32)),
         None,
-        length=n_rounds * max(1, pose_iters // 2),
+        length=n_rounds * max(1, pose_iters),
     )
     m = jnp.asarray(mask)
     Xc = jnp.einsum("fij,fnj->fni", R, world) + t[:, None, :]

@@ -46,15 +46,23 @@ def remove_duplicate_faces(faces: np.ndarray) -> np.ndarray:
     return faces[np.sort(first)]
 
 
-def remove_nonmanifold_edges(faces: np.ndarray) -> np.ndarray:
+def remove_nonmanifold_edges(
+    faces: np.ndarray, vertices: np.ndarray | None = None
+) -> np.ndarray:
     """Keep at most two faces per undirected edge.
 
-    Faces are ranked by how many *manifold* edges they carry so that, when
-    an edge is shared by 3+ faces, the dropped ones are the fins — the
-    faces that mostly exist on over-subscribed edges (the reference's
-    MeshClean similarly peels non-manifold fins before vertex surgery).
+    When an edge is shared by 3+ faces the dropped ones should be the fins
+    (the reference's MeshClean similarly peels non-manifold fins before
+    vertex surgery). Topology alone cannot always tell a fin from a lone
+    surface face — both can have one hot edge and two boundary edges — so
+    when `vertices` is given, faces on a hot edge are ranked geometrically:
+    a genuine surface face has some other face on the edge it is near-
+    coplanar with, a fin is incompatible with all of them. The face with
+    the worst best-partner planarity is dropped first; ties fall back to
+    (hot-edge count, boundary-edge count).
     """
     faces = np.asarray(faces)
+    vertices = None if vertices is None else np.asarray(vertices, np.float64)
     while True:
         edges = _edge_keys(faces)
         uniq, inv, counts = np.unique(
@@ -68,8 +76,29 @@ def remove_nonmanifold_edges(faces: np.ndarray) -> np.ndarray:
         # Greedy, but only over the faces that touch a hot edge: count every
         # face's contribution per hot edge (vectorized bincount over the
         # unique-edge ids), then walk the bad faces worst-first and drop
-        # each one that still leaves some edge over-subscribed.
-        score = over3.sum(axis=1)
+        # each one that still leaves some edge over-subscribed. Ties between
+        # a fin and a genuine surface face are broken by boundary (count==1)
+        # edges: fins dangle off the surface, surface faces have manifold
+        # neighbours on their other edges.
+        boundary3 = (counts[inv] == 1).reshape(3, -1).T  # (F, 3)
+        score = (over3.sum(axis=1) * 4 + boundary3.sum(axis=1)).astype(np.float64)
+        if vertices is not None:
+            # geometric fin-ness: 1 - best |n_f . n_g| over partner faces
+            # sharing a hot edge (winding-agnostic planarity)
+            p0 = vertices[faces[:, 0]]
+            n = np.cross(vertices[faces[:, 1]] - p0, vertices[faces[:, 2]] - p0)
+            n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-30)
+            inv_cols = inv.reshape(3, -1)  # (3, F) unique-edge id per slot
+            best_partner = np.zeros(len(faces))
+            for eid in np.nonzero(counts > 2)[0]:
+                f_ids = np.unique(np.nonzero((inv_cols == eid).any(axis=0))[0])
+                plan = np.abs(n[f_ids] @ n[f_ids].T)
+                np.fill_diagonal(plan, -1.0)
+                best_partner[f_ids] = np.maximum(
+                    best_partner[f_ids], plan.max(axis=1)
+                )
+            # fin-ness dominates; topological score breaks exact ties
+            score = (1.0 - best_partner) * 100.0 + score
         hot_ids = np.nonzero(counts > 2)[0]
         hot_pos = -np.ones(len(uniq), np.int64)
         hot_pos[hot_ids] = np.arange(len(hot_ids))
@@ -242,7 +271,7 @@ def clean_mesh(
     faces = np.asarray(faces, np.int64)
     faces = remove_degenerate_faces(vertices, faces, min_area=min_area)
     faces = remove_duplicate_faces(faces)
-    faces = remove_nonmanifold_edges(faces)
+    faces = remove_nonmanifold_edges(faces, vertices)
     vertices, faces = split_nonmanifold_vertices(vertices, faces)
     if fill_holes_max_edges > 2:
         faces = fill_small_holes(vertices, faces, fill_holes_max_edges)

@@ -52,7 +52,8 @@ def _sample_nearest(img: jnp.ndarray, uv: jnp.ndarray, fill: float):
     x = jnp.round(uv[..., 0]).astype(jnp.int32)
     y = jnp.round(uv[..., 1]).astype(jnp.int32)
     ok = (x >= 0) & (x < W) & (y >= 0) & (y < H)
-    v = img[jnp.clip(y, 0, H - 1), jnp.clip(x, 0, W - 1)]
+    lin = jnp.clip(y, 0, H - 1) * W + jnp.clip(x, 0, W - 1)
+    v = jnp.take(img.reshape(-1), lin.reshape(-1)).reshape(lin.shape)
     return jnp.where(ok, v, fill), ok
 
 

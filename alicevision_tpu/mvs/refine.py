@@ -8,10 +8,17 @@ color-guided depth/sim optimization
 (cuda/.../deviceDepthSimilarityMapKernels.cuh:110-531)).
 
 The thin refinement volume is per-pixel (each pixel has its own depth
-hypotheses), so the homography trick of the SGM stage no longer applies —
-instead each (offset, tcam) pair backprojects the current depth map +
-offset and gathers the T-cam image through one bilinear warp; ZNCC again
-via separable blurs.
+hypotheses), so the SGM stage's per-plane homography trick does not apply
+directly. Two paths:
+
+  * `refine_depth_map` (gather path): each (offset, tcam) pair
+    backprojects the current depth map + offset and samples the T-cam
+    through one flat-take bilinear warp; ZNCC via separable blurs.
+  * `refine_depth_map_auto` (fast path, default in the pipeline): per-pair
+    Fusiello rectification turns every hypothesis into a pure horizontal
+    shift, and one masked-shift lax.scan over the integer disparity range
+    produces ALL offset warps with zero per-pixel gathers (see the section
+    comment below and DESIGN.md §6c).
 """
 
 from __future__ import annotations
@@ -101,7 +108,12 @@ def refine_depth_map(
             wsum = blur(w).clip(1e-4)
             mt = blur(warp * w) / wsum
             tt = blur(warp * warp * w) / wsum - mt * mt
-            rt = blur(ref_img * warp * w) / wsum - mr * mt
+            # the cross term uses the warp-validity-masked ref mean so the
+            # numerator stays a covariance near validity boundaries; the
+            # denominator keeps the hoisted full-support rr/mr (clamped-
+            # texture semantics, Patch.cuh compNCCby3DptsYK)
+            mr_w = blur(ref_img * w) / wsum
+            rt = blur(ref_img * warp * w) / wsum - mr_w * mt
             den = jnp.sqrt(jnp.maximum(rr * tt, _EPS))
             ncc = jnp.clip(rt / den, -1.0, 1.0)
             return jnp.where(blur(w) > 0.5, ncc, -1.0)
@@ -112,12 +124,18 @@ def refine_depth_map(
     # chunked vmap: wide enough to pack the VPU/MXU, chunked to bound the
     # (chunk, T, H, W) warp intermediates in HBM
     n_tot_off = offsets.shape[0]
-    chunk = int(os.environ.get("AV_REFINE_CHUNK", "1"))
+    chunk = max(1, int(os.environ.get("AV_REFINE_CHUNK", "1")))
     pad = (-n_tot_off) % chunk
     off_p = jnp.pad(offsets, (0, pad))
     sims = jax.lax.map(
         jax.vmap(score_at), off_p.reshape(-1, chunk)
     ).reshape(-1, *ref_img.shape)[:n_tot_off]  # (2n+1, H, W)
+    return _select_best_offset(sims, offsets, inv, rel_step, depth_sgm)
+
+
+def _select_best_offset(sims, offsets, inv, rel_step, depth_sgm):
+    """Argmax over the offset axis + parabola subsample refinement
+    (Refine's retrieveBestDepth semantics). sims: (2n+1, H, W)."""
     best = jnp.argmax(sims, axis=0)
     n_tot = offsets.shape[0]
     s0 = jnp.take_along_axis(sims, best[None], axis=0)[0]
@@ -178,3 +196,327 @@ def color_guided_optimize(
 
     inv, _ = jax.lax.scan(body, inv, None, length=iterations)
     return jnp.where(valid, 1.0 / jnp.maximum(inv, _EPS), depth)
+
+
+# ---------------------------------------------------------------------------
+# Gather-free rectified refine (the fast path)
+# ---------------------------------------------------------------------------
+#
+# The gather path above spends ~85% of its time in (2n+1) x T per-pixel
+# bilinear warps. Rectification removes them: in the Fusiello-rectified
+# frame of a (ref, tcam) pair, the hypothesis at relative inverse-depth
+# offset k for rectified pixel (u, v) is a pure horizontal shift
+#
+#     disp_k(u, v) = fx * B * (alpha u + beta v + gamma) * inv(u, v) * (1 + k * rel_step)
+#
+# (same linear-in-(u,v) factor as mvs/rectified.py's SGM sweep; inv is the
+# SGM inverse depth resampled into the rectified frame). All 2n+1 warps are
+# then produced by ONE lax.scan over the integer disparity range: iteration
+# s shifts the rectified tcam row block by s (a dynamic slice of a padded
+# buffer, no gather) and accumulates it into every offset whose per-pixel
+# integer disparity equals s, with bilinear fractional weights. ZNCC per
+# offset via batched separable blurs, and the per-pair (2n+1, H, W) score
+# volume returns to the original ref grid through the coalesced shared-index
+# row-gather of `_unrectify_volume` (one gather per pair, amortised over all
+# offsets). Measured on v5e at 544x960, 31 offsets, T=4: the scan evaluates
+# all 31 warps in ~17 ms/pair vs ~530 ms for 31 bilinear gathers.
+#
+# ref: src/aliceVision/depthMap/Refine.hpp:66-83 (refineRc),
+# cuda/planeSweeping/deviceSimilarityVolumeKernels.cuh:235
+# (volume_refineSimilarity_kernel) — same hypothesis set, rectified warping.
+
+
+def _warp_homography_nearest(img, Hmat, out_hw, fill=0.0):
+    """Nearest-neighbour homography warp (value-preserving, for depth/inv
+    maps where bilinear blending across discontinuities is wrong)."""
+    Ho, Wo = out_hw
+    H_im, W_im = img.shape
+    ys = jnp.arange(Ho, dtype=jnp.float32)
+    xs = jnp.arange(Wo, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    p = jnp.stack([gx, gy, jnp.ones_like(gx)], -1)
+    q = jnp.einsum("ij,hwj->hwi", Hmat, p)
+    z = q[..., 2]
+    zs = jnp.where(jnp.abs(z) < _EPS, _EPS, z)
+    u = jnp.round(q[..., 0] / zs).astype(jnp.int32)
+    v = jnp.round(q[..., 1] / zs).astype(jnp.int32)
+    ok = (u >= 0) & (u < W_im) & (v >= 0) & (v < H_im) & (z > _EPS)
+    lin = jnp.clip(v, 0, H_im - 1) * W_im + jnp.clip(u, 0, W_im - 1)
+    vals = jnp.take(img.reshape(-1), lin.reshape(-1)).reshape(lin.shape)
+    return jnp.where(ok, vals, fill), ok
+
+
+def _disparity_bounds(K_ref, K_t, R_rel, t_rel, depth_range, rel_span, hw):
+    """Host-side integer scan bounds for one pair: range of
+    fx*B*(alpha u + beta v + gamma)*inv*(1 +- rel_span) over the image."""
+    import numpy as np
+
+    K_ref = np.asarray(K_ref, np.float64)
+    R = np.asarray(R_rel, np.float64)
+    t = np.asarray(t_rel, np.float64)
+    c2 = -R.T @ t
+    B = float(np.linalg.norm(c2))
+    v1 = c2 / max(B, 1e-12)
+    z = np.array([0.0, 0.0, 1.0])
+    v2 = np.cross(z, v1)
+    v2 /= max(np.linalg.norm(v2), 1e-12)
+    v3 = np.cross(v1, v2)
+    R_rect = np.stack([v1, v2, v3])
+    fx, fy = K_ref[0, 0], K_ref[1, 1]
+    cx, cy = K_ref[0, 2], K_ref[1, 2]
+    alpha = R_rect[0, 2] / fx
+    beta = R_rect[1, 2] / fy
+    gamma = R_rect[2, 2] - alpha * cx - beta * cy
+    H, W = hw
+    corners_w = [alpha * u + beta * v + gamma
+                 for u in (0.0, W - 1.0) for v in (0.0, H - 1.0)]
+    inv_lo, inv_hi = 1.0 / depth_range[1], 1.0 / depth_range[0]
+    vals = [fx * B * w * iv * f
+            for w in corners_w for iv in (inv_lo, inv_hi)
+            for f in (1.0 - rel_span, 1.0 + rel_span)]
+    lo = int(np.floor(min(vals))) - 2
+    hi = int(np.ceil(max(vals))) + 2
+    # bucket to multiples of 64 so nearby scenes share one compile
+    lo = (lo // 64) * 64
+    hi = -((-hi) // 64) * 64
+    return lo, hi
+
+
+@partial(
+    jax.jit, static_argnames=("n_offsets", "s_min", "s_max", "sigma_window")
+)
+def _pair_refine_scores_rectified(
+    depth_sgm, ref_img, t_img, K_ref, K_t, R_rel, t_rel,
+    rel_step, n_offsets, s_min, s_max, sigma_window=1.5,
+):
+    """(2n+1, H, W) refine score volume for ONE tcam in the ORIGINAL ref
+    frame, with all warps produced by a single masked-shift scan."""
+    from .plane_sweep import warp_homography
+    from .rectified import _unrectify_volume, fusiello_rectification
+
+    H, W = ref_img.shape
+    R_rect, H_ref, H_t, B = fusiello_rectification(K_ref, K_t, R_rel, t_rel)
+    H_ref_inv = jnp.linalg.inv(H_ref)
+
+    ref_rect, ref_ok = warp_homography(ref_img, H_ref_inv, (H, W))
+    t_rect, t_okb = warp_homography(t_img, jnp.linalg.inv(H_t), (H, W))
+    inv_map = jnp.where(
+        depth_sgm > 0, 1.0 / jnp.maximum(depth_sgm, _EPS), 0.0
+    )
+    inv_rect, inv_ok = _warp_homography_nearest(inv_map, H_ref_inv, (H, W))
+
+    fx = K_ref[0, 0]
+    fy = K_ref[1, 1]
+    cx = K_ref[0, 2]
+    cy = K_ref[1, 2]
+    alpha = R_rect[0, 2] / fx
+    beta = R_rect[1, 2] / fy
+    gamma = R_rect[2, 2] - alpha * cx - beta * cy
+    us = jnp.arange(W, dtype=jnp.float32)[None, :]
+    vs = jnp.arange(H, dtype=jnp.float32)[:, None]
+    wlin = alpha * us + beta * vs + gamma  # (H, W)
+    disp0 = fx * B * wlin * inv_rect  # (H, W) base disparity
+
+    n_off = 2 * n_offsets + 1
+    offs = (jnp.arange(n_off, dtype=jnp.float32) - n_offsets) * rel_step
+    scale_k = (1.0 + offs)[:, None, None]  # (n_off, 1, 1)
+
+    # padded so iteration s can slice the tcam rows shifted by s for any
+    # s in [s_min, s_max]
+    pad_l = max(s_max, 0)
+    pad_r = max(-s_min, 0)
+    padded = jnp.pad(t_rect, ((0, 0), (pad_l, pad_r)))
+
+    def body(acc, s):
+        sl = jax.lax.dynamic_slice_in_dim(
+            padded, pad_l - s, W, axis=1
+        )  # (H, W): value at (v, u) = t_rect[v, u - s]
+        sf = s.astype(jnp.float32)
+        # frac weights recomputed from the (H, W) base disparity — cheaper
+        # than carrying (n_off, H, W) tables through every scan iteration
+        dk = disp0[None] * scale_k
+        dk_i = jnp.floor(dk)
+        w = jnp.where(dk_i == sf, 1.0 - (dk - dk_i), 0.0) + jnp.where(
+            dk_i == sf - 1.0, dk - dk_i, 0.0
+        )  # (n_off, H, W)
+        return acc + w * sl[None], None
+
+    acc0 = jnp.zeros((n_off, H, W), jnp.float32)
+    warps, _ = jax.lax.scan(
+        body, acc0, jnp.arange(s_min, s_max + 1, dtype=jnp.int32)
+    )
+
+    # exact warped-validity without a second scan channel: the rectified
+    # tcam's valid region is the homography image of a rectangle — a convex
+    # quad, i.e. ONE u-interval [lo(v), hi(v)] per row. A shifted bilinear
+    # sample at p = u - disp is valid iff both taps lie in the interval.
+    uu = us  # (1, W)
+    lo_v = jnp.min(jnp.where(t_okb, uu, jnp.inf), axis=1, keepdims=True)
+    hi_v = jnp.max(jnp.where(t_okb, uu, -jnp.inf), axis=1, keepdims=True)
+    disp_k = disp0[None] * scale_k
+    p = uu[None] - disp_k
+    valid = (
+        (p >= lo_v[None])
+        & (p <= hi_v[None] - 1.0)
+        & ref_ok[None]
+        & (inv_rect > 0)[None]
+    )
+
+    blur = lambda x: gaussian_blur(x, sigma_window)  # noqa: E731
+    mr = blur(ref_rect)
+    rr = jnp.maximum(blur(ref_rect * ref_rect) - mr * mr, 0.0)
+
+    def zncc_k(warp, v):
+        w = v.astype(jnp.float32)
+        wsum = blur(w).clip(1e-4)
+        mt = blur(warp * w) / wsum
+        tt = blur(warp * warp * w) / wsum - mt * mt
+        mr_w = blur(ref_rect * w) / wsum
+        rt = blur(ref_rect * warp * w) / wsum - mr_w * mt
+        den = jnp.sqrt(jnp.maximum(rr * tt, _EPS))
+        ncc = jnp.clip(rt / den, -1.0, 1.0)
+        return jnp.where(blur(w) > 0.5, ncc, -1.0)
+
+    sims_rect = jax.vmap(zncc_k)(warps, valid)  # (n_off, H, W)
+    return _unrectify_volume(sims_rect, H_ref, (H, W), fill=-1.0)
+
+
+def _pair_refine_scores_gather(
+    depth_sgm, ref_img, t_img, K_ref, K_t, R_rel, t_rel,
+    rel_step, n_offsets, sigma_window=1.5,
+):
+    """(2n+1, H, W) refine scores for ONE tcam via per-offset bilinear
+    warps — the fallback for pairs whose rectification is degenerate."""
+    offsets = (
+        jnp.arange(n_offsets * 2 + 1) - n_offsets
+    ).astype(ref_img.dtype)
+    inv = 1.0 / jnp.maximum(depth_sgm, _EPS)
+    blur = lambda x: gaussian_blur(x, sigma_window)  # noqa: E731
+    mr = blur(ref_img)
+    rr = jnp.maximum(blur(ref_img * ref_img) - mr * mr, 0.0)
+    H, W = t_img.shape
+
+    def score_at(off):
+        d = 1.0 / jnp.maximum(inv * (1.0 + off * rel_step), _EPS)
+        uv, ok = _project_with_depth(d, K_ref, K_t, R_rel, t_rel)
+        warp = bilinear_sample(t_img, uv)
+        inside = (
+            ok
+            & (uv[..., 0] >= 0)
+            & (uv[..., 0] <= W - 1)
+            & (uv[..., 1] >= 0)
+            & (uv[..., 1] <= H - 1)
+        )
+        w = inside.astype(ref_img.dtype)
+        wsum = blur(w).clip(1e-4)
+        mt = blur(warp * w) / wsum
+        tt = blur(warp * warp * w) / wsum - mt * mt
+        mr_w = blur(ref_img * w) / wsum
+        rt = blur(ref_img * warp * w) / wsum - mr_w * mt
+        den = jnp.sqrt(jnp.maximum(rr * tt, _EPS))
+        ncc = jnp.clip(rt / den, -1.0, 1.0)
+        return jnp.where(blur(w) > 0.5, ncc, -1.0)
+
+    return jax.lax.map(score_at, offsets)
+
+
+def refine_plan(
+    K_ref,
+    K_t,  # (T, 3, 3)
+    R_rel,  # (T, 3, 3)
+    t_rel,  # (T, 3)
+    depth_range: tuple[float, float],
+    hw: tuple[int, int],
+    rel_step: float = 0.005,
+    n_offsets: int = 15,
+    method: str = "auto",
+) -> tuple:
+    """HOST-side per-pair dispatch plan for `refine_depth_map_auto`:
+    a static tuple of ("rectified", s_lo, s_hi) / ("gather",) entries.
+
+    Must be computed with CONCRETE poses (outside jit) — the plan is then a
+    static closure argument, so the refine itself composes under one jit
+    (the per-view pipeline is jitted whole in stages/bench; an eager
+    composition on the axon relay measured 20x slower)."""
+    import numpy as np
+
+    from .rectified import rectification_ok
+
+    T = int(np.asarray(K_t).shape[0])
+    rel_span = n_offsets * rel_step
+    if method == "gather":
+        ok = [False] * T
+    else:
+        R_np = np.asarray(R_rel)
+        t_np = np.asarray(t_rel)
+        ok = [rectification_ok(R_np[t], t_np[t]) for t in range(T)]
+        if method == "rectified" and not all(ok):
+            raise ValueError("method='rectified' but a pair fails the gate")
+    plan = []
+    for t in range(T):
+        if ok[t]:
+            s_lo, s_hi = _disparity_bounds(
+                K_ref, np.asarray(K_t)[t], np.asarray(R_rel)[t],
+                np.asarray(t_rel)[t], depth_range, rel_span, hw,
+            )
+            plan.append(("rectified", s_lo, s_hi))
+        else:
+            plan.append(("gather",))
+    return tuple(plan)
+
+
+def refine_depth_map_auto(
+    depth_sgm: jnp.ndarray,  # (H, W) SGM depth (<= 0 invalid)
+    ref_img: jnp.ndarray,  # (H, W)
+    t_imgs: jnp.ndarray,  # (T, H, W)
+    K_ref: jnp.ndarray,
+    K_t: jnp.ndarray,  # (T, 3, 3)
+    R_rel: jnp.ndarray,  # (T, 3, 3)
+    t_rel: jnp.ndarray,  # (T, 3)
+    depth_range: tuple[float, float] | None = None,  # (d_min, d_max) host
+    rel_step: float = 0.005,
+    n_offsets: int = 15,
+    sigma_window: float = 1.5,
+    method: str = "auto",
+    plan: tuple | None = None,
+):
+    """Drop-in fast variant of `refine_depth_map`: per-pair dispatch to the
+    gather-free rectified scan (default) or the bilinear-gather fallback
+    for degenerate pairs, fused in the original ref frame.
+
+    Callers inside jit MUST pass `plan` (from `refine_plan`, computed with
+    concrete poses); with plan=None the plan is derived here, which needs
+    concrete poses and `depth_range`."""
+    T = t_imgs.shape[0]
+    if plan is None:
+        if depth_range is None:
+            raise ValueError("need depth_range (or a precomputed plan)")
+        plan = refine_plan(
+            K_ref, K_t, R_rel, t_rel, depth_range,
+            ref_img.shape, rel_step, n_offsets, method,
+        )
+
+    sims = []
+    for t in range(T):
+        if plan[t][0] == "rectified":
+            _, s_lo, s_hi = plan[t]
+            sims.append(
+                _pair_refine_scores_rectified(
+                    depth_sgm, ref_img, t_imgs[t], K_ref, K_t[t],
+                    R_rel[t], t_rel[t], rel_step, n_offsets, s_lo, s_hi,
+                    sigma_window,
+                )
+            )
+        else:
+            sims.append(
+                _pair_refine_scores_gather(
+                    depth_sgm, ref_img, t_imgs[t], K_ref, K_t[t],
+                    R_rel[t], t_rel[t], rel_step, n_offsets, sigma_window,
+                )
+            )
+    sims = jnp.mean(jnp.stack(sims), axis=0)  # (2n+1, H, W)
+    offsets = (
+        jnp.arange(n_offsets * 2 + 1) - n_offsets
+    ).astype(ref_img.dtype)
+    inv = 1.0 / jnp.maximum(depth_sgm, _EPS)
+    return _select_best_offset(sims, offsets, inv, rel_step, depth_sgm)

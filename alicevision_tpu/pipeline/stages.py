@@ -579,9 +579,9 @@ def depth_map_estimation(
             params,
         )
         if refine:
-            from ..mvs.refine import color_guided_optimize, refine_depth_map
+            from ..mvs.refine import color_guided_optimize, refine_depth_map_auto
 
-            depth, sim = refine_depth_map(
+            depth, sim = refine_depth_map_auto(
                 depth,
                 jnp.asarray(imgs[rc]),
                 jnp.asarray(np.stack([imgs[t] for t in order])),
@@ -589,6 +589,7 @@ def depth_map_estimation(
                 jnp.asarray(np.stack([K_all[t] for t in order])),
                 jnp.asarray(R_rel.astype(np.float32)),
                 jnp.asarray(t_rel.astype(np.float32)),
+                depth_range=(float(d_min), float(d_max)),
             )
             depth = color_guided_optimize(
                 depth, jnp.asarray(imgs[rc]), iterations=color_opt_iters

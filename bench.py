@@ -223,7 +223,11 @@ def bench_depth_maps():
     import jax.numpy as jnp
 
     from alicevision_tpu.mvs.plane_sweep import SgmParams, sgm_depth_map
-    from alicevision_tpu.mvs.refine import refine_depth_map
+    from alicevision_tpu.mvs.refine import (
+        color_guided_optimize,
+        refine_depth_map_auto,
+        refine_plan,
+    )
 
     # SGM at scale2 + stepXY2 of a 1920x1080 capture -> 480x270 volume.
     Hs, Ws, D, T = 272, 480, 256, 4
@@ -249,16 +253,20 @@ def bench_depth_maps():
     K_s, Kt_s, R_rel, t_rel = cams(Ws, Hs, 300.0)
     K_r, Kt_r, _, _ = cams(Wr, Hr, 600.0)
     params = SgmParams(n_depths=D)
+    # host-side dispatch plan (all four pairs rectifiable here) so the full
+    # SGM + rectified-refine + color-opt view compiles as ONE XLA program
+    plan = refine_plan(K_r, Kt_r, R_rel, t_rel, (2.0, 20.0), (Hr, Wr))
 
     def one_view(ref_s_, t_s_, ref_r_, t_r_):
         depth, sim = sgm_depth_map(ref_s_, t_s_, K_s, Kt_s, R_rel, t_rel,
                                    2.0, 20.0, params)
         up = jnp.repeat(jnp.repeat(depth, 2, 0), 2, 1)
-        out = refine_depth_map(up, ref_r_, t_r_, K_r, Kt_r, R_rel, t_rel,
-                               n_offsets=15)
+        d2, s2 = refine_depth_map_auto(up, ref_r_, t_r_, K_r, Kt_r, R_rel,
+                                       t_rel, n_offsets=15, plan=plan)
+        d3 = color_guided_optimize(d2, ref_r_)
         # scalar summary: forces full execution, keeps the relay transfer
         # to 4 bytes (fetching the maps would time the pipe, not the chip)
-        return sum(jnp.sum(o) for o in jax.tree_util.tree_leaves(out))
+        return jnp.sum(d3) + jnp.sum(s2)
 
     f = jax.jit(one_view)
     float(np.asarray(f(ref_s, t_s, ref_r, t_r)))  # compile + warm

@@ -50,9 +50,15 @@ def test_nonmanifold_edge_fin_removed():
         [[0, 1, 2], [0, 2, 3], [1, 4, 2], [1, 5, 2]],  # last = fin
         np.int64,
     )
-    f2 = remove_nonmanifold_edges(f)
+    f2 = remove_nonmanifold_edges(f, v)
     assert (_edge_multiplicity(f2) <= 2).all()
-    assert len(f2) == 3  # exactly the fin dropped
+    assert len(f2) == 3
+    # the FIN face itself must be the one dropped (geometric planarity
+    # ranking), not a genuine surface face
+    surviving = {tuple(sorted(face)) for face in f2.tolist()}
+    assert tuple(sorted([1, 5, 2])) not in surviving
+    for keeper in ([0, 1, 2], [0, 2, 3], [1, 4, 2]):
+        assert tuple(sorted(keeper)) in surviving
 
 
 def test_bowtie_vertex_split():

@@ -86,4 +86,6 @@ def test_cli_fatal_error_is_caught(tiny_scene):
         capture_output=True, text=True,
     )
     assert r.returncode != 0
-    assert "Traceback" not in r.stderr.splitlines()[-1] if r.stderr else True
+    # the farm-log contract: a FATAL line, no raw traceback anywhere
+    assert "Traceback" not in r.stderr
+    assert "fatal" in r.stderr.lower()
