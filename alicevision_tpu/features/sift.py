@@ -169,14 +169,39 @@ def _detect_octave(gauss: jnp.ndarray, step: float, cfg: SiftConfig, k_budget: i
     cand = cand & (yy >= b) & (yy < H - b) & (xx >= b) & (xx < W - b)
 
     resp = jnp.abs(center)
-    score = jnp.where(cand, resp, 0.0).reshape(-1)
-    vals, flat_idx = jax.lax.top_k(score, k_budget)
+    score = jnp.where(cand, resp, 0.0)
+    # two-stage top-k: a full-array lax.top_k over S*H*W costs ~45x the
+    # DoG itself on TPU (sort-based). Reduce 4x4 spatial blocks to their
+    # max first and top_k the 16x smaller array — at most one keypoint
+    # per 4x4 cell per scale, which is exactly the reference's grid
+    # filtering of maxTotalKeypoints (SIFT.hpp:38-50 grid sort).
+    B = 4
+    Hp, Wp = (H // B) * B, (W // B) * B
+    blk = score[:, :Hp, :Wp].reshape(S, Hp // B, B, Wp // B, B)
+    blk_max = blk.max(axis=(2, 4))  # (S, Hb, Wb)
+    Hb, Wb = Hp // B, Wp // B
+    k_eff = min(k_budget, S * Hb * Wb)
+    vals, bidx = jax.lax.top_k(blk_max.reshape(-1), k_eff)
+    if k_eff < k_budget:  # tiny octaves: pad back to the fixed budget
+        vals = jnp.pad(vals, (0, k_budget - k_eff))
+        bidx = jnp.pad(bidx, (0, k_budget - k_eff))
     valid = vals > 0.0
-
-    s_idx = flat_idx // (H * W)  # 0..S-1 (interior DoG level - 1)
-    rem = flat_idx % (H * W)
-    y_idx = rem // W
-    x_idx = rem % W
+    s_idx = bidx // (Hb * Wb)
+    rem = bidx % (Hb * Wb)
+    by = rem // Wb
+    bx = rem % Wb
+    # recover the argmax position inside each winning 4x4 block
+    iy = jnp.arange(B)[:, None]
+    ix = jnp.arange(B)[None, :]
+    lin = (
+        s_idx[:, None, None] * (H * W)
+        + (by[:, None, None] * B + iy[None]) * W
+        + (bx[:, None, None] * B + ix[None])
+    )  # (K, B, B)
+    cell = jnp.take(score.reshape(-1), lin.reshape(-1)).reshape(-1, B * B)
+    off = jnp.argmax(cell, axis=1)
+    y_idx = by * B + off // B
+    x_idx = bx * B + off % B
 
     # Subpixel refinement: 3D quadratic fit about each candidate.
     dog_flat = dog.reshape(-1)
@@ -305,14 +330,46 @@ def _orientation(img, cx, cy, sigma_oct, lvl=None):
     return theta
 
 
-def _descriptor_raw(img, cx, cy, sigma_oct, angle, cfg: SiftConfig, lvl=None):
-    """Unnormalized 128-dim descriptor (trilinear binning, Gaussian weight)."""
+def _gather_rotated_patches_multi(img, cx, cy, spacings, angle, G, lvls):
+    """(S, G+2, G+2) rotated patches for S (spacing, level) pairs in ONE
+    flat gather — the DSP pooling path samples all domain sizes at once
+    (10 separate per-scale gathers measured ~5x slower than one batched
+    take on v5e)."""
+    L_, H, W = img.shape
+    g = jnp.arange(G + 2, dtype=jnp.float32) - (G + 1) / 2.0
+    gy, gx = jnp.meshgrid(g, g, indexing="ij")
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    sx = spacings[:, None, None] * (ca * gx - sa * gy)[None] + cx
+    sy = spacings[:, None, None] * (sa * gx + ca * gy)[None] + cy
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    lvl3 = lvls[:, None, None]
+
+    # 4 taps stacked into ONE take
+    ys = jnp.stack([y0i, y0i, y0i + 1, y0i + 1])  # (4, S, G+2, G+2)
+    xs = jnp.stack([x0i, x0i + 1, x0i, x0i + 1])
+    inside = (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H)
+    lin = (lvl3[None] * H + jnp.clip(ys, 0, H - 1)) * W + jnp.clip(
+        xs, 0, W - 1
+    )
+    v = jnp.take(img.reshape(-1), lin.reshape(-1)).reshape(lin.shape)
+    v = jnp.where(inside, v, 0.0)
+    w = jnp.stack(
+        [(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy]
+    )
+    return jnp.sum(v * w, axis=0)  # (S, G+2, G+2)
+
+
+def _descriptor_from_patch(patch, cfg: SiftConfig):
+    """Unnormalized 128-dim descriptor from a sampled (G+2, G+2) patch
+    (trilinear binning, Gaussian weight)."""
     NBP = cfg.n_spatial_bins
     NBO = cfg.n_ori_bins
     G = cfg.patch_grid
-    win = cfg.magnif * sigma_oct * NBP / 2.0  # half-size of the window
-    spacing = 2.0 * win / G
-    patch = _gather_rotated_patch(img, cx, cy, spacing, angle, G, lvl=lvl)
     gx = 0.5 * (patch[1:-1, 2:] - patch[1:-1, :-2])
     gy = 0.5 * (patch[2:, 1:-1] - patch[:-2, 1:-1])
     mag = jnp.sqrt(gx * gx + gy * gy)
@@ -343,6 +400,15 @@ def _descriptor_raw(img, cx, cy, sigma_oct, angle, cfg: SiftConfig, lvl=None):
     )  # (G^2, NBO)
     S = jnp.asarray(_spatial_bin_matrix(NBP, G))  # (NBP^2, G^2) static
     return (S @ V).reshape(-1)  # (128,)
+
+
+def _descriptor_raw(img, cx, cy, sigma_oct, angle, cfg: SiftConfig, lvl=None):
+    """Unnormalized 128-dim descriptor at one domain size."""
+    G = cfg.patch_grid
+    win = cfg.magnif * sigma_oct * cfg.n_spatial_bins / 2.0
+    spacing = 2.0 * win / G
+    patch = _gather_rotated_patch(img, cx, cy, spacing, angle, G, lvl=lvl)
+    return _descriptor_from_patch(patch, cfg)
 
 
 _SPATIAL_CACHE: dict = {}
@@ -424,17 +490,22 @@ def extract(img: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> SiftFeatures:
                 # a 3x window from the detection-scale blur aliases high
                 # frequencies and makes the pooled descriptor LESS stable
                 # (measured); vl_covdet re-smooths patches the same way
-                # (ImageDescriber_DSPSIFT_vlfeat.cpp:304-311).
+                # (ImageDescriber_DSPSIFT_vlfeat.cpp:304-311). All domain
+                # sizes are sampled in ONE fused gather.
                 n_lvls = gauss.shape[0]
-
-                def desc_at(s):
-                    dl = jnp.round(jnp.log2(s) * cfg.n_scales).astype(jnp.int32)
-                    li = jnp.clip(level_i + dl, 0, n_lvls - 1)
-                    return _descriptor_raw(
-                        gauss, x_i, y_i, sig_i * s, theta, cfg, lvl=li
-                    )
-
-                descs = jax.vmap(desc_at)(scales)
+                dl = jnp.round(jnp.log2(scales) * cfg.n_scales).astype(
+                    jnp.int32
+                )
+                lis = jnp.clip(level_i + dl, 0, n_lvls - 1)
+                spacings = (
+                    cfg.magnif * sig_i * scales * cfg.n_spatial_bins
+                ) / cfg.patch_grid
+                patches = _gather_rotated_patches_multi(
+                    gauss, x_i, y_i, spacings, theta, cfg.patch_grid, lis
+                )
+                descs = jax.vmap(
+                    lambda p: _descriptor_from_patch(p, cfg)
+                )(patches)
                 # L2-normalize per scale BEFORE pooling: the raw finite-
                 # difference magnitudes grow with the sampling spacing, so
                 # an unnormalized mean is dominated by the largest domain

@@ -44,6 +44,31 @@ def build_landmark_index(
     return (desc / np.maximum(norm, 1e-12)).astype(np.float32), points
 
 
+def match_2d3d(
+    landmark_desc: np.ndarray,  # (L, D)
+    landmark_pts: np.ndarray,  # (L, 3)
+    query_desc: np.ndarray,  # (N, D)
+    query_norm: np.ndarray,  # (N, 2) undistorted normalized coords
+    ratio: float = 0.85,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Descriptor-matched (world (M, 3), obs (M, 2)) correspondences —
+    the matching half of SfMLocalizer::Localize, exposed so the rig path
+    can resect all cameras JOINTLY (rigResection.cpp)."""
+    if len(query_desc) == 0:
+        return np.zeros((0, 3)), np.zeros((0, 2))
+    m = match_bruteforce(
+        jnp.asarray(query_desc),
+        jnp.asarray(landmark_desc),
+        jnp.ones(len(query_desc), bool),
+        jnp.ones(len(landmark_desc), bool),
+        ratio=ratio,
+        cross_check=False,
+    )
+    idx2 = np.asarray(m.idx2)
+    sel = np.nonzero(idx2 >= 0)[0]
+    return landmark_pts[idx2[sel]], np.asarray(query_norm)[sel]
+
+
 def localize_image(
     key: jax.Array,
     landmark_desc: np.ndarray,  # (L, D)
@@ -57,21 +82,11 @@ def localize_image(
     n_hyps: int = 256,
 ) -> LocalizationResult:
     """2D-3D matching + robust P3P resection (SfMLocalizer::Localize)."""
-    m = match_bruteforce(
-        jnp.asarray(query_desc),
-        jnp.asarray(landmark_desc),
-        jnp.ones(len(query_desc), bool),
-        jnp.ones(len(landmark_desc), bool),
-        ratio=ratio,
-        cross_check=False,
+    world, obs = match_2d3d(
+        landmark_desc, landmark_pts, query_desc, query_norm, ratio
     )
-    idx2 = np.asarray(m.idx2)
-    sel = np.nonzero(idx2 >= 0)[0]
-    if len(sel) < min_inliers:
+    if len(world) < min_inliers:
         return LocalizationResult(np.eye(3), np.zeros(3), 0, False)
-
-    world = landmark_pts[idx2[sel]]
-    obs = query_norm[sel]
     n = len(sel)
     cap = 1 << int(np.ceil(np.log2(max(n, 32))))
     world_p = np.pad(world, ((0, cap - n), (0, 0)))

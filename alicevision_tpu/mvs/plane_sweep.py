@@ -146,6 +146,7 @@ def similarity_volume(
     t_rel: jnp.ndarray,  # (T, 3)
     depths: jnp.ndarray,  # (D,)
     params: SgmParams = SgmParams(),
+    tc_depth_ranges: jnp.ndarray | None = None,  # (T, 2) per-tcam [lo, hi]
 ) -> jnp.ndarray:
     """Similarity volume (D, H, W): mean ZNCC across T-cams per depth plane.
 
@@ -211,6 +212,14 @@ def similarity_volume(
         wsum = w0 + w1 + w2 + w3
         warp = (a0 + a1 + a2 + a3) / jnp.maximum(wsum, _EPS)
         valid = (wsum > 0.99) & (z > _EPS)
+        if tc_depth_ranges is not None:
+            # per-T-cam depth sub-range (SgmDepthList depthsTcLimits):
+            # planes outside a tcam's meaningful range contribute nothing
+            lim = jnp.asarray(tc_depth_ranges, depth_chunk.dtype)
+            in_lim = (depth_chunk[:, None] >= lim[None, :, 0]) & (
+                depth_chunk[:, None] <= lim[None, :, 1]
+            )  # (C, T)
+            valid = valid & in_lim[..., None, None]
         warp = jnp.where(valid, warp, 0.0)
 
         # ZNCC of the whole (C*T, H, W) stack against the broadcast ref.
@@ -432,18 +441,27 @@ def sgm_depth_map(
     d_min: float,
     d_max: float,
     params: SgmParams = SgmParams(),
+    depths: jnp.ndarray | None = None,
+    tc_depth_ranges: jnp.ndarray | None = None,
 ):
     """Full SGM pipeline for one reference view (Sgm::sgmRc equivalent).
 
     The similarity volume routes through the gather-free rectified sweep
     per tcam pair when the geometry allows (params.method, default
     "auto") — 14x faster than the plane-homography gather sweep on v5e.
+    `depths`/`tc_depth_ranges` override the uniform inverse-depth grid
+    with an SfM-seeded per-view list + per-T-cam depth sub-ranges
+    (SgmDepthList semantics, mvs/depth_list.py).
     """
     from .rectified import similarity_volume_auto
 
-    depths = inverse_depth_planes(d_min, d_max, params.n_depths)
+    if depths is None:
+        depths = inverse_depth_planes(d_min, d_max, params.n_depths)
+    else:
+        depths = jnp.asarray(depths, jnp.float32)
     cost = similarity_volume_auto(
-        ref_img, t_imgs, K_ref, K_t, R_rel, t_rel, depths, params
+        ref_img, t_imgs, K_ref, K_t, R_rel, t_rel, depths, params,
+        tc_depth_ranges=tc_depth_ranges,
     )
     if params.guided_radius > 0:
         from ..ops.guided_filter import filter_cost_volume

@@ -213,6 +213,16 @@ def pair_similarity_rectified(
     return _unrectify_volume(sims_rect, H_ref, (H, W), fill=-1.0)
 
 
+def _apply_tc_range(sim, depths, tc_depth_ranges, t):
+    """Mask a per-pair similarity volume outside tcam t's depth sub-range
+    (SgmDepthList depthsTcLimits, SgmDepthList.cpp:160-178)."""
+    if tc_depth_ranges is None:
+        return sim
+    lim = jnp.asarray(tc_depth_ranges, depths.dtype)
+    in_lim = (depths >= lim[t, 0]) & (depths <= lim[t, 1])  # (D,)
+    return jnp.where(in_lim[:, None, None], sim, -1.0)
+
+
 def similarity_volume_rectified(
     ref_img: jnp.ndarray,
     t_imgs: jnp.ndarray,  # (T, Ht, Wt)
@@ -222,6 +232,7 @@ def similarity_volume_rectified(
     t_rel: jnp.ndarray,  # (T, 3)
     depths: jnp.ndarray,
     params: SgmParams = SgmParams(),
+    tc_depth_ranges: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Drop-in replacement for plane_sweep.similarity_volume: cost volume
     (D, H, W) in [0, 255], mean ZNCC over tcams."""
@@ -232,6 +243,7 @@ def similarity_volume_rectified(
         sim = pair_similarity_rectified(
             ref_img, t_imgs[t], K_ref, K_t[t], R_rel[t], t_rel[t], depths, params
         )
+        sim = _apply_tc_range(sim, depths, tc_depth_ranges, t)
         sims.append(sim)
         oks.append(jnp.any(sim > -1.0, axis=(-2, -1)))  # (D,) slice usable
     sims = jnp.stack(sims)  # (T, D, H, W)
@@ -252,6 +264,7 @@ def similarity_volume_auto(
     t_rel: jnp.ndarray,  # (T, 3)
     depths: jnp.ndarray,
     params: SgmParams = SgmParams(),
+    tc_depth_ranges: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Cost volume (D, H, W) with per-pair path selection.
 
@@ -269,11 +282,13 @@ def similarity_volume_auto(
     method = getattr(params, "method", "auto")
     if method == "gather":
         return similarity_volume(
-            ref_img, t_imgs, K_ref, K_t, R_rel, t_rel, depths, params
+            ref_img, t_imgs, K_ref, K_t, R_rel, t_rel, depths, params,
+            tc_depth_ranges=tc_depth_ranges,
         )
     if method == "rectified":
         return similarity_volume_rectified(
-            ref_img, t_imgs, K_ref, K_t, R_rel, t_rel, depths, params
+            ref_img, t_imgs, K_ref, K_t, R_rel, t_rel, depths, params,
+            tc_depth_ranges=tc_depth_ranges,
         )
 
     T = t_imgs.shape[0]
@@ -285,11 +300,13 @@ def similarity_volume_auto(
         ok = [False] * T
     if all(ok):
         return similarity_volume_rectified(
-            ref_img, t_imgs, K_ref, K_t, R_rel, t_rel, depths, params
+            ref_img, t_imgs, K_ref, K_t, R_rel, t_rel, depths, params,
+            tc_depth_ranges=tc_depth_ranges,
         )
     if not any(ok):
         return similarity_volume(
-            ref_img, t_imgs, K_ref, K_t, R_rel, t_rel, depths, params
+            ref_img, t_imgs, K_ref, K_t, R_rel, t_rel, depths, params,
+            tc_depth_ranges=tc_depth_ranges,
         )
 
     # mixed: fuse per-pair similarity volumes from both paths
@@ -314,9 +331,15 @@ def similarity_volume_auto(
             sim = 1.0 - cost / 127.5
             # similarity_volume zeros unusable slices (cost 127.5); a real
             # ZNCC slice is never exactly 0 everywhere
+            sim = _apply_tc_range(sim, depths, tc_depth_ranges, t)
             sims.append(sim)
-            oks.append(jnp.any(jnp.abs(sim) > 1e-6, axis=(-2, -1)))
+            oks.append(
+                jnp.any(
+                    (jnp.abs(sim) > 1e-6) & (sim > -0.999), axis=(-2, -1)
+                )
+            )
             continue
+        sim = _apply_tc_range(sim, depths, tc_depth_ranges, t)
         sims.append(sim)
         oks.append(jnp.any(sim > -1.0, axis=(-2, -1)))
     sims = jnp.stack(sims)

@@ -276,9 +276,23 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("sfmTransform")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
-    p.add_argument("--method", default="auto", choices=["auto", "from_poses"])
+    p.add_argument(
+        "--method",
+        default="auto",
+        choices=["auto", "from_poses", "from_gps", "from_markers"],
+    )
     p.add_argument("--reference", default=None, help=".sfm to align onto")
     p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument(
+        "--gpsFile",
+        default=None,
+        help="JSON {viewId: [lat_deg, lon_deg, alt_m]} for from_gps",
+    )
+    p.add_argument(
+        "--markersFile",
+        default=None,
+        help="JSON {markerId: [x, y, z]} for from_markers",
+    )
     _add_common(p)
 
     p = sub.add_parser("qualityEvaluation")
@@ -794,6 +808,18 @@ def _dispatch_inner(args) -> int:
         sc = sfmdata.load(args.input)
         if args.method == "from_poses" and args.reference:
             al.align_to_scene(sc, sfmdata.load(args.reference))
+        elif args.method == "from_gps":
+            if not args.gpsFile:
+                raise SystemExit("from_gps needs --gpsFile")
+            with open(args.gpsFile) as f:
+                llh = {int(k): tuple(v) for k, v in json.load(f).items()}
+            al.align_from_gps(sc, llh)
+        elif args.method == "from_markers":
+            if not args.markersFile:
+                raise SystemExit("from_markers needs --markersFile")
+            with open(args.markersFile) as f:
+                markers = {int(k): tuple(v) for k, v in json.load(f).items()}
+            al.align_from_markers(sc, markers)
         else:
             al.auto_center_scale(sc, target_extent=args.scale)
         sfmdata.save(sc, args.output)

@@ -509,17 +509,32 @@ def _frustum_filtering(args):
 
 def _setup_colored_cloud(p):
     p.add_argument("--input", required=True)
+    p.add_argument(
+        "--imagesFolder",
+        default="",
+        help="prepared-image folder (<viewId>.npy); when given, landmarks "
+        "are colorized from observation pixels before export",
+    )
     p.add_argument("--output", required=True, help=".ply")
 
 
 @command("exportColoredPointCloud", _setup_colored_cloud)
 def _export_colored_point_cloud(args):
-    """ref: src/software/export/main_exportColoredPointCloud.cpp"""
+    """Colorize landmarks from their observation pixels (colorizeTracks
+    greedy view assignment) and write the colored PLY.
+    ref: src/software/export/main_exportColoredPointCloud.cpp,
+    src/aliceVision/sfmData/colorize.cpp:23-123"""
     from .. import sfmdata
 
     sc = sfmdata.load(args.input)
+    if args.imagesFolder:
+        sfmdata.colorize_tracks(
+            sc, sfmdata.npy_folder_loader(sc, args.imagesFolder)
+        )
     _ensure_parent(args.output)
     sfmdata.save_ply(sc, args.output)
+    print(json.dumps({"points": int(len(sc.points)),
+                      "colorized": bool(args.imagesFolder)}))
 
 
 def _setup_export_keypoints(p):
@@ -1519,15 +1534,23 @@ def _setup_rig_loc(p):
                    help="comma-separated folders, one per rig camera")
     p.add_argument("--rig", required=True, help="rig .json")
     p.add_argument("--output", required=True, help="rig poses .json")
+    p.add_argument(
+        "--fusion", default="joint", choices=["joint", "average"],
+        help="joint = non-central resection over ALL rig cameras at once "
+        "(rigResection.cpp); average = legacy per-camera + quaternion mean",
+    )
 
 
 @command("rigLocalization", _setup_rig_loc)
 def _rig_localization(args):
-    """Localize each rig camera, express every result as a rig (cam-0) pose
-    through the known sub-poses, fuse by quaternion averaging
-    (ref: src/software/pipeline/main_rigLocalization.cpp,
-    localization/rigResection.cpp)."""
+    """Localize the rig frame per query timestamp. Default: 2D-3D matches
+    from EVERY rig camera feed ONE joint non-central resection with the
+    known sub-poses (ref: src/software/pipeline/main_rigLocalization.cpp,
+    localization/rigResection.cpp — OpenGV non-central PnP analog); the
+    legacy per-camera + quaternion-averaging path stays as --fusion average.
+    """
     import numpy as np
+    import jax
     import jax.numpy as jnp
 
     from ..geometry import mat_to_quat, quat_to_mat
@@ -1536,6 +1559,82 @@ def _rig_localization(args):
     with open(args.rig) as f:
         rig = json.load(f)
     folders = args.queryFolders.split(",")
+
+    if getattr(args, "fusion", "joint") == "joint":
+        from .. import camera as camm
+        from .. import sfmdata
+        from ..features import sift as siftm
+        from ..image.io import read_image
+        from ..localization.localizer import (
+            build_landmark_index,
+            match_2d3d,
+        )
+        from ..localization.voctree_localizer import rig_resection
+
+        sc = sfmdata.load(args.input)
+        lm_desc, lm_pts = _build_landmark_index_from_features(
+            sc, args.features
+        )
+        fx = float(np.mean(sc.scale[:, 0]))
+        w, h = float(sc.sizes[0, 0]), float(sc.sizes[0, 1])
+        import jax.tree_util as jtu
+
+        row = jtu.tree_map(
+            lambda a: jnp.asarray(np.asarray(a)[0]), sc.intrinsics_table()
+        )
+        # sub-pose chain x_cam_k = sub_R x_frame + sub_t from the rig
+        # json's (R_rel, c_rel) pose composition
+        sub_R = np.stack(
+            [np.asarray(s["R"]) for s in rig["subposes"]]
+        )
+        sub_t = np.stack(
+            [-np.asarray(s["R"]) @ np.asarray(s["c"])
+             for s in rig["subposes"]]
+        )
+
+        def list_queries(folder):
+            return sorted(
+                f for f in os.listdir(folder)
+                if f.lower().endswith((".jpg", ".png", ".jpeg", ".npy"))
+            )
+
+        names = sorted(
+            set.intersection(*[set(list_queries(f)) for f in folders])
+        )
+        fused = {}
+        key = jax.random.PRNGKey(0)
+        for name in names:
+            world_per_cam, obs_per_cam = [], []
+            for k, folder in enumerate(folders):
+                img = read_image(os.path.join(folder, name), grayscale=True)
+                feats = siftm.extract(
+                    jnp.asarray(img, jnp.float32),
+                    siftm.SiftConfig(max_keypoints=2048),
+                )
+                valid = np.asarray(feats.valid)
+                desc = np.asarray(feats.desc)[valid]
+                xy = np.asarray(feats.xy)[valid]
+                p = camm.ima2cam(row, jnp.asarray(xy, jnp.float32))
+                p = camm.remove_distortion(row.disto_kind, row.disto, p)
+                wpts, onorm = match_2d3d(lm_desc, lm_pts, desc, np.asarray(p))
+                world_per_cam.append(wpts)
+                obs_per_cam.append(onorm)
+            key, k1 = jax.random.split(key)
+            res = rig_resection(
+                k1, world_per_cam, obs_per_cam, sub_R, sub_t, fx, (w, h)
+            )
+            fused[name] = {
+                "success": bool(res.success),
+                "n_inliers": int(res.n_inliers),
+                "R": np.asarray(res.R_frame).tolist(),
+                "c": np.asarray(res.c_frame).tolist(),
+            }
+        _ensure_parent(args.output)
+        with open(args.output, "w") as f:
+            json.dump(fused, f, indent=1)
+        print(json.dumps({"frames": len(fused), "fusion": "joint"}))
+        return
+
     per_cam = []
     for k, folder in enumerate(folders):
         out_k = args.output + f".cam{k}.json"

@@ -18,6 +18,7 @@ the same checkpoint contract the reference exposes to Meshroom. Formats:
 from __future__ import annotations
 
 import json
+import logging
 import os
 
 import numpy as np
@@ -565,7 +566,33 @@ def depth_map_estimation(
         R_rel = np.stack([R_all[t] @ R_all[rc].T for t in order])
         t_rel = np.stack([R_all[t] @ (c_all[rc] - c_all[t]) for t in order])
 
+        # SfM-seeded per-view depth list + per-T-cam sub-ranges
+        # (SgmDepthList semantics: only the landmarks THIS view observes
+        # define its hypothesis range; each tcam sweeps the indices whose
+        # principal-ray point it can actually see.
+        # ref: src/aliceVision/depthMap/SgmDepthList.cpp:48-75,272,412)
+        from ..mvs.depth_list import sgm_depth_list
+
+        hw_all = {
+            v: (imgs[v].shape[1], imgs[v].shape[0]) for v in valid
+        }
         d_min, d_max = depth_range_from_landmarks(sc.points, R_all[rc], c_all[rc])
+        dl = sgm_depth_list(
+            sc.points, sc.obs_landmark, sc.obs_view, sc.obs_uv,
+            rc, R_all, c_all, K_all, hw_all, order, n_depths,
+            fallback_range=(d_min, d_max),
+        )
+        tc_ranges = np.stack(
+            [dl.depths[dl.tc_limits[:, 0]],
+             dl.depths[np.clip(dl.tc_limits[:, 1] - 1, 0, n_depths - 1)]],
+            axis=1,
+        ).astype(np.float32)
+        logging.getLogger("alicevision_tpu").info(
+            "depthMap view %d: %d planes in [%.3f, %.3f] from %d seeds; "
+            "tcam plane counts %s",
+            int(sc.view_ids[rc]), len(dl.depths), dl.d_min, dl.d_max,
+            dl.n_obs, (dl.tc_limits[:, 1] - dl.tc_limits[:, 0]).tolist(),
+        )
         params = ps.SgmParams(n_depths=n_depths)
         depth, sim = ps.sgm_depth_map(
             jnp.asarray(imgs[rc]),
@@ -574,9 +601,11 @@ def depth_map_estimation(
             jnp.asarray(np.stack([K_all[t] for t in order])),
             jnp.asarray(R_rel.astype(np.float32)),
             jnp.asarray(t_rel.astype(np.float32)),
-            d_min,
-            d_max,
+            dl.d_min,
+            dl.d_max,
             params,
+            depths=dl.depths,
+            tc_depth_ranges=tc_ranges,
         )
         if refine:
             from ..mvs.refine import color_guided_optimize, refine_depth_map_auto
@@ -589,7 +618,7 @@ def depth_map_estimation(
                 jnp.asarray(np.stack([K_all[t] for t in order])),
                 jnp.asarray(R_rel.astype(np.float32)),
                 jnp.asarray(t_rel.astype(np.float32)),
-                depth_range=(float(d_min), float(d_max)),
+                depth_range=(float(dl.d_min), float(dl.d_max)),
             )
             depth = color_guided_optimize(
                 depth, jnp.asarray(imgs[rc]), iterations=color_opt_iters

@@ -96,3 +96,93 @@ def ate_rmse(scene: SfMData, ref: SfMData, align: bool = True) -> float:
         s, R, t = umeyama_similarity(src, dst)
         src = src @ (s * R).T + t
     return float(np.sqrt(np.mean(np.sum((src - dst) ** 2, axis=1))))
+
+
+def robust_similarity(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n_iters: int = 256,
+    inlier_frac_thresh: float = 0.05,
+    seed: int = 0,
+):
+    """RANSAC similarity dst ~ s R src + t from 3-point Umeyama samples,
+    refit on the inlier set (the ACRansac_FindRTS pattern,
+    ref: src/aliceVision/geometry/rigidTransformation3D.cpp). The inlier
+    threshold adapts to the destination cloud extent."""
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    n = len(src)
+    if n < 3:
+        raise ValueError("need >= 3 correspondences")
+    rng = np.random.RandomState(seed)
+    extent = np.linalg.norm(dst - dst.mean(0), axis=1).mean()
+    thresh = max(inlier_frac_thresh * extent, 1e-12)
+    best_inl = None
+    best_cnt = -1
+    for _ in range(min(n_iters, 4 * n * n + 8)):
+        idx = rng.choice(n, 3, replace=False)
+        try:
+            s, R, t = umeyama_similarity(src[idx], dst[idx])
+        except np.linalg.LinAlgError:
+            continue
+        if not np.isfinite(s) or s <= 0:
+            continue
+        err = np.linalg.norm(src @ (s * R).T + t - dst, axis=1)
+        inl = err < thresh
+        if inl.sum() > best_cnt:
+            best_cnt = int(inl.sum())
+            best_inl = inl
+    if best_inl is None or best_cnt < 3:
+        return umeyama_similarity(src, dst)
+    s, R, t = umeyama_similarity(src[best_inl], dst[best_inl])
+    return s, R, t
+
+
+def align_from_gps(scene: SfMData, llh_by_view: dict):
+    """Transform the scene into the ECEF frame of per-view GPS tags
+    (sfmTransform --method from_gps; ref: sfm/utils/alignment.cpp:1157
+    computeNewCoordinateSystemFromGpsData — robust similarity between
+    posed camera centers and WGS84->cartesian GPS positions).
+
+    llh_by_view: {view_id: (lat_deg, lon_deg, alt_m)}. Needs >= 4 tagged
+    posed views (the reference's minimum)."""
+    from ..geometry.gps import wgs84_to_cartesian
+
+    src, dst = [], []
+    for i, vid in enumerate(scene.view_ids):
+        vid = int(vid)
+        p = scene.view_pose[i]
+        if vid in llh_by_view and p != INVALID:
+            src.append(scene.pose_c[p])
+            dst.append(wgs84_to_cartesian(llh_by_view[vid]))
+    if len(src) < 4:
+        raise ValueError("not enough GPS-tagged posed views (need >= 4)")
+    s, R, t = robust_similarity(np.array(src), np.array(dst))
+    transform_scene(scene, s, R, t)
+    return s, R, t
+
+
+def align_from_markers(scene: SfMData, markers: dict, desc_prefix=("tag", "cctag")):
+    """Align on marker landmarks with known world coordinates
+    (sfmTransform --method from_markers; ref: sfm/utils/alignment.cpp
+    computeNewCoordinateSystemFromSpecificMarkers — a marker landmark's
+    feature id IS the marker id).
+
+    markers: {marker_id: (x, y, z) target coordinates}."""
+    src, dst = [], []
+    for li in range(len(scene.points)):
+        dt = scene.desc_types[li] if li < len(scene.desc_types) else "sift"
+        if not str(dt).startswith(tuple(desc_prefix)):
+            continue
+        sel = np.nonzero(scene.obs_landmark == li)[0]
+        if len(sel) == 0:
+            continue
+        mid = int(scene.obs_feature[sel[0]])
+        if mid in markers:
+            src.append(scene.points[li])
+            dst.append(np.asarray(markers[mid], np.float64))
+    if len(src) < 3:
+        raise ValueError("not enough matched markers (need >= 3)")
+    s, R, t = robust_similarity(np.array(src), np.array(dst))
+    transform_scene(scene, s, R, t)
+    return s, R, t

@@ -792,6 +792,7 @@ def refine_intrinsics(
     refine_pp: bool = True,
     refine_disto: bool = True,
     iters: int = 10,
+    disto_max_order: int | None = None,
 ) -> cam.Intrinsics:
     """Gauss-Newton refinement of the intrinsic table with poses/points held.
 
@@ -813,7 +814,13 @@ def refine_intrinsics(
     if refine_pp:
         sel[2:4] = 1
     if refine_disto:
-        sel[4:] = 1
+        if disto_max_order is None:
+            sel[4:] = 1
+        else:
+            # coarse-to-fine: with thin support only the low-order radial
+            # terms are observable — high-order coefficients overfit the
+            # central cloud and CORRUPT undistortion at the image edges
+            sel[4 : 4 + max(disto_max_order, 0)] = 1
     sel = jnp.asarray(sel)
 
     Rm = quat_to_mat(cam_q)[problem.obs_cam]

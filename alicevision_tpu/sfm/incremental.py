@@ -42,7 +42,11 @@ class IncrementalConfig:
     max_reproj_px: float = 4.0  # outlier gate (hpp:96 maxReprojectionError)
     min_angle_deg: float = 3.0  # triangulation angle gate (hpp:88)
     min_angle_init_deg: float = 5.0  # initial pair baseline gate (hpp:86)
-    resection_max_error_px: float = 4.0
+    # The reference's localizerEstimatorError defaults to INFINITY and lets
+    # AC-RANSAC adapt the threshold (ReconstructionEngine_sequentialSfM.hpp
+    # :70) — a finite cap here would reject resections whose residuals are
+    # inflated by not-yet-refined intrinsics (e.g. unmodelled distortion).
+    resection_max_error_px: float = 1e6
     n_ransac_hyps: int = 256
     group_add: int = 30  # BA group size after warmup (hpp:60)
     max_track_obs: int = 16  # K bucket for triangulation/BA tables
@@ -554,12 +558,19 @@ class IncrementalSfM:
         m = self._obs_table_mask()
         problem = self._make_problem(m, cam_fixed=~self.res.posed)
         n_posed = int(self.res.posed.sum())
+        # coarse-to-fine distortion: high-order radial terms are only
+        # observable once the scene carries enough spatially-spread
+        # observations — fitting k2/k3 to a small central cloud corrupts
+        # edge undistortion (and thereby resection)
+        n_obs_live = int(np.asarray(problem.obs_mask).sum())
+        order = 1 if n_obs_live < 3000 else (2 if n_obs_live < 10000 else None)
         new_intr = ba_mod.refine_intrinsics(
             problem,
             problem.cam_q,
             problem.cam_c,
             problem.points,
             refine_pp=n_posed >= 8,
+            disto_max_order=order,
         )
         self.intr_np = jax.tree_util.tree_map(np.asarray, new_intr)
         self._recompute_obs_norm()
@@ -638,7 +649,14 @@ class IncrementalSfM:
             new_obs = np.concatenate([self.view_obs[v] for v in new_views])
             self.triangulate_tracks(np.unique(self.obs_track[new_obs]))
             n_posed = int(self.res.posed.sum())
-            if self.cfg.refine_intrinsics and n_posed >= next_refine_at:
+            # The reference refines intrinsics (incl. distortion) inside
+            # EVERY Ceres BA (BundleAdjustment.hpp REFINE_INTRINSICS_*);
+            # early groups are where wrong focal/disto poisons resection,
+            # so refine every group until the scene is established, then
+            # back off to the doubling cadence to bound the cost.
+            if self.cfg.refine_intrinsics and (
+                n_posed <= 4 * self.cfg.group_add or n_posed >= next_refine_at
+            ):
                 self.refine_intrinsics_now()
                 next_refine_at = max(next_refine_at * 2, n_posed + 1)
             self.bundle_adjust(new_views=new_views)

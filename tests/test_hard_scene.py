@@ -1,0 +1,176 @@
+"""HARD rendered benchmark scene: 40 occluded views, radial distortion,
+noise, outlier matches — the ETH3D-class evidence gate (asserted ATE +
+golden outputs). ref: software/utils/main_qualityEvaluation.cpp (GT
+evaluation), multiview/NViewDataSet.hpp (fixture strategy)."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from alicevision_tpu import camera as cam
+from alicevision_tpu.sfm.incremental import IncrementalConfig, IncrementalSfM
+from alicevision_tpu.tracks.builder import build_tracks
+from alicevision_tpu.utils.rendered import hard_scene
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "hard_scene_poses.npz")
+
+
+def matches_from_scene(hs, ring_window=4, outlier_frac=0.02, seed=7,
+                       verify_px=30.0):
+    """Pairwise feature matches from co-visibility + wrong-match outliers,
+    passed through an epipolar verification emulating featureMatching's
+    geometric filter (the real pipeline never feeds raw putative matches
+    to track building). The threshold is loose because verification runs
+    on distortion-corrupted coordinates with an adaptive AC threshold —
+    epipolar-consistent outliers survive, exactly as they do for the
+    reference."""
+    V, P = hs.visible.shape
+    rng = np.random.RandomState(seed)
+    feat_of = -np.ones((V, P), np.int64)
+    features_xy = {}
+    for v in range(V):
+        vis = np.nonzero(hs.visible[v])[0]
+        feat_of[v, vis] = np.arange(len(vis))
+        features_xy[v] = hs.observations[v, vis].astype(np.float32)
+    f_px = hs.K[0, 0]
+    cx, cy = hs.K[0, 2], hs.K[1, 2]
+    pair_matches = {}
+    for i in range(V):
+        for dj in range(1, ring_window + 1):
+            j = (i + dj) % V
+            if j <= i:
+                continue
+            common = np.nonzero(hs.visible[i] & hs.visible[j])[0]
+            if len(common) < 8:
+                continue
+            m = np.stack([feat_of[i, common], feat_of[j, common]], axis=1)
+            n_out = int(outlier_frac * len(m))
+            if n_out:
+                rows = rng.choice(len(m), n_out, replace=False)
+                m[rows, 1] = rng.randint(0, hs.visible[j].sum(), n_out)
+            # geometric verification with the pair's true essential matrix
+            R_rel = hs.R[j] @ hs.R[i].T
+            t_rel = hs.R[j] @ (hs.c[i] - hs.c[j])
+            tx = np.array([
+                [0, -t_rel[2], t_rel[1]],
+                [t_rel[2], 0, -t_rel[0]],
+                [-t_rel[1], t_rel[0], 0],
+            ])
+            E = tx @ R_rel
+            vis_j = np.nonzero(hs.visible[j])[0]
+            uv_i = features_xy[i][m[:, 0]]
+            uv_j = features_xy[j][m[:, 1]]
+            x1 = np.column_stack(
+                [(uv_i - [cx, cy]) / f_px, np.ones(len(m))]
+            )
+            x2 = np.column_stack(
+                [(uv_j - [cx, cy]) / f_px, np.ones(len(m))]
+            )
+            Ex1 = x1 @ E.T
+            x2tEx1 = np.sum(x2 * Ex1, axis=1)
+            Etx2 = x2 @ E
+            denom = (
+                Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2
+                + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
+            )
+            sampson = x2tEx1**2 / np.maximum(denom, 1e-12)
+            keep = sampson < (verify_px / f_px) ** 2
+            m = m[keep]
+            del vis_j
+            if len(m) >= 8:
+                pair_matches[(i, j)] = m
+    n_feats = {v: int(hs.visible[v].sum()) for v in range(V)}
+    return pair_matches, features_xy, n_feats
+
+
+def _align_similarity(a, b):
+    mu_a, mu_b = a.mean(0), b.mean(0)
+    ac, bc = a - mu_a, b - mu_b
+    H = bc.T @ ac / len(a)
+    U, S, Vt = np.linalg.svd(H)
+    D = np.eye(3)
+    if np.linalg.det(U @ Vt) < 0:
+        D[2, 2] = -1
+    R = U @ D @ Vt
+    s = np.trace(np.diag(S) @ D) / ((ac**2).sum() / len(a))
+    return s, R, mu_b - s * R @ mu_a
+
+
+def run_hard_scene(n_views=40, n_points=600):
+    hs = hard_scene(n_views=n_views, n_points=n_points)
+    pair_matches, features_xy, n_feats = matches_from_scene(hs)
+    tracks = build_tracks(pair_matches, n_feats, min_track_length=2)
+
+    # realistic priors: focal 2% off, UNKNOWN (zero) distortion of the
+    # right family — the engine's in-loop intrinsics refinement must
+    # recover it (the reference refines disto inside every BA)
+    w, h = hs.image_size
+    intr = cam.make_intrinsics(
+        w, h, float(hs.K[0, 0]) * 1.02,
+        disto_kind=cam.DISTO_RADIALK3, disto_params=(0.0, 0.0, 0.0),
+    )
+    intr = jax.tree_util.tree_map(lambda a: np.asarray(a)[None], intr)
+    intr = cam.Intrinsics(*intr)
+    engine = IncrementalSfM(
+        tracks, features_xy, intr,
+        view_intrinsic=np.zeros(n_views, np.int32),
+        image_sizes=np.tile([w, h], (n_views, 1)),
+        config=IncrementalConfig(robust_triangulation=True, seed=0),
+    )
+    res = engine.process()
+    return hs, engine, res
+
+
+@pytest.fixture(scope="module")
+def hard_result():
+    return run_hard_scene()
+
+
+def test_hard_scene_ate(hard_result):
+    hs, engine, res = hard_result
+    posed = np.nonzero(res.posed)[0]
+    assert len(posed) >= 38, f"only {len(posed)}/40 views posed"
+    est = res.pose_c[posed]
+    gt = hs.c[posed]
+    s, R, t = _align_similarity(est, gt)
+    ate = np.sqrt(np.mean(np.sum((est @ (s * R).T + t - gt) ** 2, axis=1)))
+    radius = np.linalg.norm(hs.c - hs.c.mean(0), axis=1).mean()
+    # sub-1%-of-radius trajectory error despite distortion + outliers
+    assert ate < 0.01 * radius, (ate, radius)
+
+
+def test_hard_scene_recovers_distortion(hard_result):
+    hs, engine, res = hard_result
+    intr = jax.tree_util.tree_map(np.asarray, engine.intr_np)
+    k1 = float(np.atleast_2d(intr.disto)[0, 0])
+    assert abs(k1 - hs.disto[0]) < 0.03, (k1, hs.disto[0])
+    f_est = float(np.atleast_2d(intr.scale)[0, 0])
+    assert abs(f_est - hs.K[0, 0]) / hs.K[0, 0] < 0.01
+
+
+def test_hard_scene_matches_golden(hard_result, tmp_path):
+    """Regression gate: poses + intrinsics against the blessed golden run,
+    round-tripped through the .sfm writer."""
+    hs, engine, res = hard_result
+    from alicevision_tpu import sfmdata as sio
+
+    sc = engine.to_sfmdata()
+    p = str(tmp_path / "hard.sfm")
+    sio.save(sc, p)
+    sc2 = sio.load(p)
+    assert sc2.n_poses == sc.n_poses
+
+    if not os.path.exists(GOLDEN):
+        pytest.skip("golden not generated (scripts/make_golden.py)")
+    g = np.load(GOLDEN)
+    posed = np.nonzero(res.posed)[0]
+    assert np.array_equal(posed, g["posed"])
+    # compare in a gauge-free way: align both to GT, then compare centers
+    s1, R1, t1 = _align_similarity(res.pose_c[posed], hs.c[posed])
+    s2, R2, t2 = _align_similarity(g["pose_c"][posed], hs.c[posed])
+    a = res.pose_c[posed] @ (s1 * R1).T + t1
+    b = g["pose_c"][posed] @ (s2 * R2).T + t2
+    drift = np.linalg.norm(a - b, axis=1).max()
+    assert drift < 0.02, drift  # scene units (radius 6)

@@ -121,3 +121,71 @@ def test_rig_resection_recovers_frame():
     ang = np.degrees(np.linalg.norm(np.asarray(
         geo.so3_log(jnp.asarray(res.R_frame @ R_f.T, jnp.float32)[None]))[0]))
     assert ang < 0.1, ang
+
+
+def test_joint_rig_resection_beats_per_camera_averaging():
+    """Asymmetric noise (camera 1 is 5x noisier): the joint non-central
+    resection (rigResection.cpp semantics, used by the rigLocalization CLI)
+    must localize the frame better than per-camera P3P + quaternion
+    averaging, because the joint fit weighs all correspondences in one
+    consensus instead of averaging a good pose with a bad one."""
+    from alicevision_tpu import robust
+    from alicevision_tpu.localization.voctree_localizer import (
+        _frame_from_view,
+    )
+    from alicevision_tpu.misc.rig import average_quaternions
+
+    rng = np.random.default_rng(3)
+    w = np.array([0.05, -0.1, 0.2])
+    R_f = np.asarray(geo.so3_exp(jnp.asarray(w, jnp.float32)[None]))[0]
+    c_f = np.array([0.2, 0.1, -4.5])
+    sub_R = np.stack([
+        np.eye(3),
+        np.asarray(geo.so3_exp(jnp.asarray([0.0, 0.03, 0.0], jnp.float32)[None]))[0],
+    ])
+    sub_t = np.stack([np.zeros(3), np.array([0.4, 0.0, 0.0])])
+    f_px = 800.0
+    wh = (1280.0, 960.0)
+
+    noise = [0.5 / f_px, 2.5 / f_px]  # cam 1 five times noisier
+    pts_pc, obs_pc = [], []
+    for s in range(2):
+        pts = rng.uniform(-1.5, 1.5, (100, 3))
+        xf = (pts - c_f) @ R_f.T
+        xc = xf @ sub_R[s].T + sub_t[s]
+        obs = xc[:, :2] / xc[:, 2:3] + rng.normal(0, noise[s], (100, 2))
+        pts_pc.append(pts)
+        obs_pc.append(obs)
+
+    res_joint = rig_resection(
+        jax.random.PRNGKey(0), pts_pc, obs_pc, sub_R, sub_t, f_px, wh
+    )
+    assert res_joint.success
+
+    # legacy: per-camera robust P3P -> frame poses -> quaternion average
+    qs, cs = [], []
+    for s in range(2):
+        rp = robust.robust_resection_p3p(
+            jax.random.PRNGKey(10 + s),
+            jnp.asarray(pts_pc[s], jnp.float32),
+            jnp.asarray(obs_pc[s], jnp.float32),
+            f_px, wh, n_hyps=256,
+        )
+        R_v = np.asarray(rp.R)
+        c_v = -R_v.T @ np.asarray(rp.t)
+        R0, c0 = _frame_from_view(R_v, c_v, sub_R[s], sub_t[s])
+        qs.append(np.asarray(geo.mat_to_quat(jnp.asarray(R0, jnp.float32))))
+        cs.append(c0)
+    q_avg = average_quaternions(jnp.asarray(np.stack(qs)))
+    R_avg = np.asarray(geo.quat_to_mat(q_avg))
+    c_avg = np.mean(cs, axis=0)
+
+    err_joint = np.linalg.norm(res_joint.c_frame - c_f)
+    err_avg = np.linalg.norm(c_avg - c_f)
+    ang_joint = np.degrees(np.linalg.norm(np.asarray(
+        geo.so3_log(jnp.asarray(res_joint.R_frame @ R_f.T, jnp.float32)[None]))[0]))
+    ang_avg = np.degrees(np.linalg.norm(np.asarray(
+        geo.so3_log(jnp.asarray(R_avg @ R_f.T, jnp.float32)[None]))[0]))
+    assert err_joint < err_avg, (err_joint, err_avg)
+    assert ang_joint < ang_avg, (ang_joint, ang_avg)
+    assert err_joint < 5e-3
