@@ -203,36 +203,65 @@ def _detect_octave(gauss: jnp.ndarray, step: float, cfg: SiftConfig, k_budget: i
     y_idx = by * B + off // B
     x_idx = bx * B + off % B
 
-    # Subpixel refinement: 3D quadratic fit about each candidate.
+    # Subpixel refinement: 3D quadratic fit about each candidate. ALL 27
+    # neighbourhood taps of ALL candidates ride ONE flat take — small
+    # separate gathers pay a fixed per-op cost (~2 ms each on v5e, 27x4
+    # octaves of them measured ~190 ms; the single batched take is ~1 ms).
     dog_flat = dog.reshape(-1)
+    offsets27 = [
+        (ds, dy, dx) for ds in (-1, 0, 1) for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    ]
+    off_lin = jnp.asarray(
+        [ds * (H * W) + dy * W + dx for ds, dy, dx in offsets27],
+        jnp.int32,
+    )
+    base = ((s_idx + 1) * H + y_idx) * W + x_idx  # (K,)
+    lin27 = base[:, None] + off_lin[None, :]  # (K, 27)
+    vals = jnp.take(dog_flat, lin27.reshape(-1)).reshape(lin27.shape)
+    v27 = {o: vals[:, i] for i, o in enumerate(offsets27)}
 
-    def fit(si, yi, xi):
-        # 3x3x3 neighbourhood values from dog (level si+1 is the center);
-        # flat 1-D takes — the 3-D advanced-indexing gather is ~25x slower
-        def val(ds, dy, dx):
-            lin = ((si + 1 + ds) * H + (yi + dy)) * W + (xi + dx)
-            return jnp.take(dog_flat, lin)
+    def val(ds, dy, dx):
+        return v27[(ds, dy, dx)]
 
-        g = jnp.stack(
-            [
-                0.5 * (val(0, 0, 1) - val(0, 0, -1)),
-                0.5 * (val(0, 1, 0) - val(0, -1, 0)),
-                0.5 * (val(1, 0, 0) - val(-1, 0, 0)),
-            ]
-        )
-        hxx = val(0, 0, 1) + val(0, 0, -1) - 2 * val(0, 0, 0)
-        hyy = val(0, 1, 0) + val(0, -1, 0) - 2 * val(0, 0, 0)
-        hss = val(1, 0, 0) + val(-1, 0, 0) - 2 * val(0, 0, 0)
-        hxy = 0.25 * (val(0, 1, 1) + val(0, -1, -1) - val(0, 1, -1) - val(0, -1, 1))
-        hxs = 0.25 * (val(1, 0, 1) + val(-1, 0, -1) - val(1, 0, -1) - val(-1, 0, 1))
-        hys = 0.25 * (val(1, 1, 0) + val(-1, -1, 0) - val(1, -1, 0) - val(-1, 1, 0))
-        Hm = jnp.array([[hxx, hxy, hxs], [hxy, hyy, hys], [hxs, hys, hss]])
-        off = -jnp.linalg.solve(Hm + 1e-8 * jnp.eye(3), g)
-        off = jnp.clip(off, -0.6, 0.6)
-        d_hat = val(0, 0, 0) + 0.5 * jnp.dot(g, off)
-        return off, d_hat
-
-    offs, d_hat = jax.vmap(fit)(s_idx, y_idx, x_idx)
+    g = jnp.stack(
+        [
+            0.5 * (val(0, 0, 1) - val(0, 0, -1)),
+            0.5 * (val(0, 1, 0) - val(0, -1, 0)),
+            0.5 * (val(1, 0, 0) - val(-1, 0, 0)),
+        ],
+        axis=-1,
+    )  # (K, 3)
+    hxx = val(0, 0, 1) + val(0, 0, -1) - 2 * val(0, 0, 0)
+    hyy = val(0, 1, 0) + val(0, -1, 0) - 2 * val(0, 0, 0)
+    hss = val(1, 0, 0) + val(-1, 0, 0) - 2 * val(0, 0, 0)
+    hxy = 0.25 * (val(0, 1, 1) + val(0, -1, -1) - val(0, 1, -1) - val(0, -1, 1))
+    hxs = 0.25 * (val(1, 0, 1) + val(-1, 0, -1) - val(1, 0, -1) - val(-1, 0, 1))
+    hys = 0.25 * (val(1, 1, 0) + val(-1, -1, 0) - val(1, -1, 0) - val(-1, 1, 0))
+    # closed-form symmetric 3x3 solve (adjugate/Cramer): the batched LU of
+    # jnp.linalg.solve lowers to scalar loops on TPU (~50 ms per octave
+    # for 1024 tiny systems; this is elementwise VPU math)
+    a_, b_, c_ = hxx + 1e-8, hxy, hxs
+    d_, e_, f_ = hyy + 1e-8, hys, hss + 1e-8
+    A11 = d_ * f_ - e_ * e_
+    A12 = c_ * e_ - b_ * f_
+    A13 = b_ * e_ - c_ * d_
+    A22 = a_ * f_ - c_ * c_
+    A23 = b_ * c_ - a_ * e_
+    A33 = a_ * d_ - b_ * b_
+    det = a_ * A11 + b_ * A12 + c_ * A13
+    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    gx_, gy_, gs_ = g[:, 0], g[:, 1], g[:, 2]
+    offs = -jnp.stack(
+        [
+            (A11 * gx_ + A12 * gy_ + A13 * gs_) / det,
+            (A12 * gx_ + A22 * gy_ + A23 * gs_) / det,
+            (A13 * gx_ + A23 * gy_ + A33 * gs_) / det,
+        ],
+        axis=-1,
+    )
+    offs = jnp.clip(offs, -0.6, 0.6)
+    d_hat = val(0, 0, 0) + 0.5 * jnp.sum(g * offs, axis=-1)
     valid = valid & (jnp.abs(d_hat) > thr)
 
     x_o = x_idx.astype(jnp.float32) + offs[:, 0]
@@ -330,24 +359,41 @@ def _orientation(img, cx, cy, sigma_oct, lvl=None):
     return theta
 
 
-def _gather_rotated_patches_multi(img, cx, cy, spacings, angle, G, lvls):
+def _gather_rotated_patches_multi(img, cx, cy, spacings, angle, G, lvls,
+                                  nearest=True):
     """(S, G+2, G+2) rotated patches for S (spacing, level) pairs in ONE
     flat gather — the DSP pooling path samples all domain sizes at once
     (10 separate per-scale gathers measured ~5x slower than one batched
-    take on v5e)."""
+    take on v5e).
+
+    nearest=True samples one tap per grid point instead of the 4-tap
+    bilinear stencil: the +-0.5 px placement jitter is uncorrelated across
+    the pooled domain sizes and washes out in the DSP mean, while the
+    gather element count (the measured bottleneck of the descriptor stage)
+    drops 4x. Matching quality pinned by tests/test_sift.py."""
     L_, H, W = img.shape
     g = jnp.arange(G + 2, dtype=jnp.float32) - (G + 1) / 2.0
     gy, gx = jnp.meshgrid(g, g, indexing="ij")
     ca, sa = jnp.cos(angle), jnp.sin(angle)
     sx = spacings[:, None, None] * (ca * gx - sa * gy)[None] + cx
     sy = spacings[:, None, None] * (sa * gx + ca * gy)[None] + cy
+    lvl3 = lvls[:, None, None]
+    if nearest:
+        xs = jnp.round(sx).astype(jnp.int32)
+        ys = jnp.round(sy).astype(jnp.int32)
+        inside = (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H)
+        lin = (lvl3 * H + jnp.clip(ys, 0, H - 1)) * W + jnp.clip(
+            xs, 0, W - 1
+        )
+        v = jnp.take(img.reshape(-1), lin.reshape(-1)).reshape(lin.shape)
+        return jnp.where(inside, v, 0.0)
+
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
     fx = sx - x0
     fy = sy - y0
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-    lvl3 = lvls[:, None, None]
 
     # 4 taps stacked into ONE take
     ys = jnp.stack([y0i, y0i, y0i + 1, y0i + 1])  # (4, S, G+2, G+2)

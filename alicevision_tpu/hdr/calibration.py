@@ -101,23 +101,73 @@ def debevec_calibrate(
     return DebevecResponse(g=x[:n_levels])
 
 
-def grossberg_basis(v: jnp.ndarray, n_coeffs: int) -> jnp.ndarray:
-    """Analytic inverse-response basis h_k on [0, 1], stacked (..., K).
+_EMOR_CACHE: dict = {}
 
-    The reference's GrossbergCalibrate expands the inverse response in the
-    EMoR PCA basis learned from the DoRF database
-    (ref: src/aliceVision/hdr/GrossbergCalibrate.cpp, emorCurve.cpp). The
-    EMoR tables are data we do not copy; we span the same function class —
-    smooth monotone-ish deviations from identity pinned at h(0)=0, h(1)=1 —
-    with the Fourier sine basis h_k(v) = sin(pi k v) / (pi k), which is the
-    natural orthogonal basis for that boundary condition."""
+
+def emor_tables():
+    """(mean f0 (1024,), basis h (25, 1024)) of the INVERSE EMoR model.
+
+    The learned DoRF PCA data of Grossberg & Nayar ("What is the Space of
+    Camera Response Functions?", CVPR 2003) — factual published tables,
+    shipped like the sensor DB (ref: src/aliceVision/hdr/emorCurveInv.cpp,
+    GrossbergCalibrate.cpp uses the same inverse-curve basis)."""
+    if "inv" not in _EMOR_CACHE:
+        import os
+
+        import numpy as np
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data",
+            "emor.npz",
+        )
+        z = np.load(path)
+        _EMOR_CACHE["inv"] = (z["emor_inv"][0], z["emor_inv"][1:])
+        _EMOR_CACHE["fwd"] = (z["emor"][0], z["emor"][1:])
+    return _EMOR_CACHE["inv"]
+
+
+def _emor_interp(table, v):
+    """Linear interpolation of (1024,)-sampled curves at v in [0, 1]."""
+    q = table.shape[-1]
+    x = jnp.clip(v, 0.0, 1.0) * (q - 1)
+    i0 = jnp.floor(x).astype(jnp.int32)
+    i1 = jnp.clip(i0 + 1, 0, q - 1)
+    f = x - i0
+    t = jnp.asarray(table)
+    return t[..., i0] * (1 - f) + t[..., i1] * f
+
+
+def grossberg_basis(v: jnp.ndarray, n_coeffs: int, kind: str = "emor"):
+    """Inverse-response basis h_k at v, stacked (..., K).
+
+    kind="emor": the learned EMoR PCA basis (the reference's
+    GrossbergCalibrate model, emorCurveInv.cpp). kind="analytic": the
+    Fourier sine fallback sin(pi k v)/(pi k) — same function class
+    (smooth deviations pinned at h(0)=0, h(1)=1), weaker prior."""
+    if kind == "emor":
+        _, h = emor_tables()
+        return jnp.moveaxis(
+            _emor_interp(h[:n_coeffs], v), 0, -1
+        )  # (..., K)
     ks = jnp.arange(1, n_coeffs + 1, dtype=v.dtype)
     return jnp.sin(jnp.pi * ks * v[..., None]) / (jnp.pi * ks)
 
 
-def grossberg_apply(coeffs: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Inverse response: radiance = h(v) = v + sum_k c_k h_k(v)."""
-    return v + jnp.sum(grossberg_basis(v, coeffs.shape[-1]) * coeffs, axis=-1)
+def grossberg_mean(v: jnp.ndarray, kind: str = "emor") -> jnp.ndarray:
+    """The basis's mean inverse response f0 (identity for analytic)."""
+    if kind == "emor":
+        f0, _ = emor_tables()
+        return _emor_interp(f0, v)
+    return v
+
+
+def grossberg_apply(coeffs: jnp.ndarray, v: jnp.ndarray,
+                    kind: str = "emor") -> jnp.ndarray:
+    """Inverse response: radiance = f0(v) + sum_k c_k h_k(v)."""
+    return grossberg_mean(v, kind) + jnp.sum(
+        grossberg_basis(v, coeffs.shape[-1], kind) * coeffs, axis=-1
+    )
 
 
 def grossberg_calibrate(
@@ -125,13 +175,16 @@ def grossberg_calibrate(
     exposures: jnp.ndarray,  # (B,) exposure times
     n_coeffs: int = 6,
     ridge: float = 1e-4,
+    kind: str = "emor",
 ) -> jnp.ndarray:
     """Grossberg-Nayar style inverse-response calibration, linear LS.
 
     For each bracket pair (a, b): h(v_a) * t_b / t_a = h(v_b). With
-    h(v) = v + H(v) c this is linear in c — one (K, K) normal system solved
-    on-chip (ref: hdr/GrossbergCalibrate.cpp:40-120 builds the same
-    pairwise-consistency quadratic program over basis coefficients).
+    h(v) = f0(v) + H(v) c this is linear in c — one (K, K) normal system
+    solved on-chip (ref: hdr/GrossbergCalibrate.cpp:40-120 builds the same
+    pairwise-consistency quadratic program over the EMoR basis
+    coefficients). Default basis: the learned EMoR PCA (emorCurveInv.cpp);
+    kind="analytic" keeps the sine fallback.
     Returns coeffs (K,) for grossberg_apply.
     """
     B, N = samples.shape
@@ -142,10 +195,14 @@ def grossberg_calibrate(
         ratio = exposures[b + 1] / exposures[b]
         va, vb = samples[b], samples[b + 1]
         w = weight_triangle(va) * weight_triangle(vb)
-        # (va + Ha c) ratio = vb + Hb c  ->  (ratio Ha - Hb) c = vb - ratio va
-        A = ratio * grossberg_basis(va, n_coeffs) - grossberg_basis(vb, n_coeffs)
+        # (f0a + Ha c) ratio = f0b + Hb c -> (ratio Ha - Hb) c = f0b - ratio f0a
+        A = ratio * grossberg_basis(va, n_coeffs, kind) - grossberg_basis(
+            vb, n_coeffs, kind
+        )
         rows.append(A * w[:, None])
-        rhs.append((vb - ratio * va) * w)
+        rhs.append(
+            (grossberg_mean(vb, kind) - ratio * grossberg_mean(va, kind)) * w
+        )
         ws.append(w)
     A = jnp.concatenate(rows)  # (P, K)
     r = jnp.concatenate(rhs)

@@ -150,30 +150,35 @@ _ONEHOT_BUDGET = 48 * 1024 * 1024
 
 
 def _bcast_rows(tbl, ocT):
-    """Broadcast per-camera rows tbl (C, D) to observations -> (D, K, L)."""
+    """Broadcast per-camera rows tbl (C, D) to observations -> (D, K, L).
+
+    The L (landmark) axis may be SHARDED under pjit: all contractions keep
+    K and L as separate axes — reshaping (K*L,) would merge a local axis
+    into the sharded one and force XLA to all-gather the operand (measured
+    as the dominant collective of the distributed BA before this)."""
     C, D = tbl.shape
     K, L = ocT.shape
     if C * K * L <= _ONEHOT_BUDGET:
-        oh = jax.nn.one_hot(ocT, C, dtype=tbl.dtype, axis=0).reshape(C, K * L)
-        return jax.lax.dot_general(
-            tbl.T, oh, (((1,), (0,)), ((), ())), precision="highest"
-        ).reshape(D, K, L)
+        oh = jax.nn.one_hot(ocT, C, dtype=tbl.dtype, axis=0)  # (C, K, L)
+        return jnp.einsum("cd,ckl->dkl", tbl, oh, precision="highest")
     return jnp.moveaxis(tbl[ocT], -1, 0)
 
 
 def _accum_cams(planes, ocT, C):
     """Accumulate per-observation planes (D, K, L) into (C, D) rows.
 
-    Values must already carry the observation mask (zero where invalid)."""
-    D = planes.shape[0]
-    K, L = ocT.shape
-    flat = planes.reshape(D, K * L)
+    Values must already carry the observation mask (zero where invalid).
+    Contraction over (k, l) with l sharded -> XLA psums the small (C, D)
+    partials (see _bcast_rows on why K/L stay separate axes)."""
+    D, K, L = planes.shape
     if C * K * L <= _ONEHOT_BUDGET:
-        oh = jax.nn.one_hot(ocT, C, dtype=planes.dtype, axis=0).reshape(C, K * L)
-        return jax.lax.dot_general(
-            oh, flat, (((1,), (1,)), ((), ())), precision="highest"
-        )
-    return jnp.zeros((C, D), planes.dtype).at[ocT.reshape(-1)].add(flat.T)
+        oh = jax.nn.one_hot(ocT, C, dtype=planes.dtype, axis=0)  # (C, K, L)
+        return jnp.einsum("ckl,dkl->cd", oh, planes, precision="highest")
+    return (
+        jnp.zeros((C, D), planes.dtype)
+        .at[ocT.reshape(-1)]
+        .add(planes.reshape(D, K * L).T)
+    )
 
 
 def _apply_subpose(problem: BAProblem, ux, uy, uz, sub_q=None, sub_t=None):
@@ -195,7 +200,18 @@ def _apply_subpose(problem: BAProblem, ux, uy, uz, sub_q=None, sub_t=None):
     return xc, yc, zc, Rs
 
 
-def _residuals(problem: BAProblem, cam_q, cam_c, points, sub_q=None, sub_t=None):
+def _intr_apply(intr: cam.Intrinsics, dtheta) -> cam.Intrinsics:
+    """Apply packed intrinsic deltas (I, 4 + DISTO_PARAMS):
+    [d_fx, d_fy, d_cx, d_cy, d_disto...]."""
+    return intr._replace(
+        scale=intr.scale + dtheta[:, 0:2],
+        offset=intr.offset + dtheta[:, 2:4],
+        disto=intr.disto + dtheta[:, 4:],
+    )
+
+
+def _residuals(problem: BAProblem, cam_q, cam_c, points, sub_q=None, sub_t=None,
+               intr=None):
     """r (2, K, L) only — the cheap path for cost evaluation (same
     observation-minor layout as _residuals_and_jacobians)."""
     ocT = problem.obs_cam.T  # (K, L)
@@ -212,15 +228,21 @@ def _residuals(problem: BAProblem, cam_q, cam_c, points, sub_q=None, sub_t=None)
     uz = R[6] * vx + R[7] * vy + R[8] * vz
     xc, yc, zc, _ = _apply_subpose(problem, ux, uy, uz, sub_q, sub_t)
     u = jnp.stack([xc, yc, zc], -1)  # (K, L, 3)
-    intr_rows = jax.tree_util.tree_map(lambda a: a[problem.obs_intr.T], problem.intr)
+    intr_cur = problem.intr if intr is None else intr
+    intr_rows = jax.tree_util.tree_map(lambda a: a[problem.obs_intr.T], intr_cur)
     pix = cam.project_cam(intr_rows, u)
     uvT = jnp.moveaxis(problem.obs_uv, -1, 0)  # (2, L, K)
     return jnp.stack([pix[..., 0] - uvT[0].T, pix[..., 1] - uvT[1].T])
 
 
-def _residuals_and_jacobians(problem: BAProblem, cam_q, cam_c, points):
+def _residuals_and_jacobians(problem: BAProblem, cam_q, cam_c, points,
+                             dtheta=None, intr_param_idx=None):
     """r (2,K,L), J_c (2,6,K,L), J_l (2,3,K,L) — analytic chain rule in
-    *observation-minor* layout.
+    *observation-minor* layout. With `dtheta` (I, 4+DISTO_PARAMS) and a
+    static `intr_param_idx` tuple, additionally returns J_t
+    (2, I*len(idx), K, L): the shared-intrinsics Jacobian columns for the
+    JOINT refinement (BundleAdjustment.hpp REFINE_INTRINSICS_* — the
+    reference refines intrinsics inside the same Ceres problem).
 
     Only the intrinsic projection pix(x_cam) is differentiated with
     forward-mode autodiff (3 tangent basis vectors of a cheap elementwise
@@ -257,10 +279,43 @@ def _residuals_and_jacobians(problem: BAProblem, cam_q, cam_c, points):
     xc, yc, zc, Rs = _apply_subpose(problem, ux, uy, uz)
     u = jnp.stack([xc, yc, zc], -1)  # (K, L, 3) — boundary for project_cam
 
-    intr_rows = jax.tree_util.tree_map(lambda a: a[problem.obs_intr.T], problem.intr)
-    pix, lin = jax.linearize(lambda xcam: cam.project_cam(intr_rows, xcam), u)
-    eye3 = jnp.eye(3, dtype=u.dtype)
-    Acols = [lin(jnp.broadcast_to(e, u.shape)) for e in eye3]  # 3 x (K, L, 2)
+    oiT = problem.obs_intr.T
+    if dtheta is None:
+        intr_rows = jax.tree_util.tree_map(
+            lambda a: a[oiT], problem.intr
+        )
+        pix, lin = jax.linearize(
+            lambda xcam: cam.project_cam(intr_rows, xcam), u
+        )
+        eye3 = jnp.eye(3, dtype=u.dtype)
+        Acols = [
+            lin(jnp.broadcast_to(e, u.shape)) for e in eye3
+        ]  # 3 x (K, L, 2)
+        Jt_cols = None
+    else:
+        intr_cur = _intr_apply(problem.intr, dtheta)
+        I = problem.intr.scale.shape[0]
+        n_p = dtheta.shape[1]
+
+        def fproj(xcam, dp):
+            rows = jax.tree_util.tree_map(
+                lambda a: a[oiT], _intr_apply(intr_cur, dp)
+            )
+            return cam.project_cam(rows, xcam)
+
+        zero_dp = jnp.zeros((I, n_p), u.dtype)
+        pix, lin2 = jax.linearize(fproj, u, zero_dp)
+        eye3 = jnp.eye(3, dtype=u.dtype)
+        zero_u = jnp.zeros_like(u)
+        Acols = [
+            lin2(jnp.broadcast_to(e, u.shape), zero_dp) for e in eye3
+        ]
+        lin = None
+        Jt_cols = []
+        for gi in range(I):
+            for p in intr_param_idx:
+                e = zero_dp.at[gi, p].set(1.0)
+                Jt_cols.append(lin2(zero_u, e))  # (K, L, 2)
     A = [[Acols[i][..., r] for i in range(3)] for r in range(2)]  # A[r][i]
     if Rs is not None:  # A_eff = A @ R_sub
         A = [
@@ -299,7 +354,13 @@ def _residuals_and_jacobians(problem: BAProblem, cam_q, cam_c, points):
     Jc = jnp.concatenate(
         [jnp.stack(rot_rows), -J_pt], axis=1
     )  # (2, 6, K, L); d x_cam/d c = -R
-    return r_out, Jc, J_pt
+    if Jt_cols is None:
+        return r_out, Jc, J_pt
+    # (2, P, K, L): P = I * len(intr_param_idx) shared-intrinsic columns
+    Jt = jnp.stack(
+        [jnp.moveaxis(col, -1, 0) for col in Jt_cols], axis=1
+    )
+    return r_out, Jc, J_pt, Jt
 
 
 def _quat_premul_mat(dq_mat, q):
@@ -546,12 +607,17 @@ def _schur_solve(problem, r, Jc, Jl, lam):
         [parts.Y[i][h] for i in range(6) for h in range(3)]
     )  # (18,K,L)
     oh_kl = jax.nn.one_hot(parts.ocT, C, dtype=r.dtype, axis=0)  # (C, K, L)
-    # output order cihl => Bm is a pure reshape, no relayout
+    # output order cihl => B6 keeps L as its own MINOR axis. Under pjit the
+    # L axis is the sharded one: contracting it via einsum lets XLA psum
+    # the tiny (C,6,C,6) partials, whereas a reshape merging (3, L) into
+    # one axis forces an ALL-GATHER of the whole 6C x 3L factor first
+    # (measured 17 MB/step/pair vs ~50 KB — the difference between 1% and
+    # ~100% projected ICI scaling efficiency).
     B = jnp.einsum("ckl,dkl->cdl", oh_kl, Y18, precision="highest")
-    Bm = B.reshape(C * 6, 3 * L)
-    S_off = -jax.lax.dot_general(
-        Bm, Bm, (((1,), (1,)), ((), ())), precision="highest"
-    )
+    B6 = B.reshape(C, 6, 3, L)  # split of the LOCAL 18-axis only
+    S_off = -jnp.einsum(
+        "cihl,ejhl->ciej", B6, B6, precision="highest"
+    ).reshape(C * 6, C * 6)
     D = jnp.einsum("cd,cij->cidj", jnp.eye(C, dtype=r.dtype), parts.U_d)
     S_mat = S_off + D.reshape(C * 6, C * 6)
 
@@ -564,6 +630,134 @@ def _schur_solve(problem, r, Jc, Jl, lam):
 
     dx_pt = _back_substitute(parts, dx_cam)
     return dx_cam, dx_pt
+
+
+def _schur_solve_joint(problem, r, Jc, Jl, Jt, lam):
+    """Damped Schur step of the JOINT pose/point/shared-intrinsics system:
+    returns (dx_cam (C,6), dx_pt (L,3), dtheta (P,)).
+
+    The reduced system gains P extra rows/cols (P <= ~10 shared intrinsic
+    parameters): S = [[S_cc, S_ct], [S_ct^T, S_tt]] with every block
+    eliminated against the landmark blocks exactly like S_cc — the TPU
+    dense analog of Ceres keeping intrinsics inside the Schur problem
+    (BundleAdjustmentCeres.cpp REFINE_INTRINSICS)."""
+    L, K = problem.obs_mask.shape
+    C = problem.cam_q.shape[0]
+    parts = _schur_prelude(problem, r, Jc, Jl, lam)
+    mT = problem.obs_mask.T.astype(r.dtype)
+    P = Jt.shape[1]
+    Jt = Jt * mT  # (2, P, K, L)
+    live_cam = (~problem.cam_fixed).astype(r.dtype)[parts.ocT] * mT
+    live_pt = (~problem.point_fixed).astype(r.dtype)[None] * mT
+    Jc_m = Jc * live_cam
+    Jl_m = Jl * live_pt
+    r_m = r * mT
+
+    # per-landmark intrinsics-point coupling W_t (P, 3, L)
+    wth = [
+        [
+            jnp.sum(Jt[0, p] * Jl_m[0, h] + Jt[1, p] * Jl_m[1, h], axis=0)
+            for h in range(3)
+        ]
+        for p in range(P)
+    ]
+    # U_t (P, P), g_t (P,)
+    U_t = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.sum(Jt[0, p] * Jt[0, q] + Jt[1, p] * Jt[1, q])
+                    for q in range(P)
+                ]
+            )
+            for p in range(P)
+        ]
+    )
+    g_t = -jnp.stack(
+        [jnp.sum(Jt[0, p] * r_m[0] + Jt[1, p] * r_m[1]) for p in range(P)]
+    )
+    # W_ct (C, 6, P) camera-intrinsics coupling
+    planes = jnp.stack(
+        [
+            Jc_m[0, i] * Jt[0, p] + Jc_m[1, i] * Jt[1, p]
+            for i in range(6)
+            for p in range(P)
+        ]
+    )  # (6P, K, L)
+    W_ct = _accum_cams(planes, parts.ocT, C).reshape(C, 6, P)
+
+    # eliminate landmarks: Y_t = W_t chol(V^-1)
+    l11, l21, l31, l22, l32, l33 = parts.Vh
+    Y_t = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    wth[p][0] * l11 + wth[p][1] * l21 + wth[p][2] * l31,
+                    wth[p][1] * l22 + wth[p][2] * l32,
+                    wth[p][2] * l33,
+                ]
+            )
+            for p in range(P)
+        ]
+    )  # (P, 3, L)
+    Y_tm = Y_t.reshape(P, 3 * L)
+
+    # B (6C, 3L) exactly as the dense camera solve builds it
+    Y18 = jnp.stack(
+        [parts.Y[i][h] for i in range(6) for h in range(3)]
+    )  # (18, K, L)
+    oh_kl = jax.nn.one_hot(parts.ocT, C, dtype=r.dtype, axis=0)
+    B = jnp.einsum("ckl,dkl->cdl", oh_kl, Y18, precision="highest")
+    Bm = B.reshape(C * 6, 3 * L)
+
+    S_cc = -jax.lax.dot_general(
+        Bm, Bm, (((1,), (1,)), ((), ())), precision="highest"
+    )
+    D = jnp.einsum("cd,cij->cidj", jnp.eye(C, dtype=r.dtype), parts.U_d)
+    S_cc = S_cc + D.reshape(C * 6, C * 6)
+    S_ct = W_ct.reshape(C * 6, P) - Bm @ Y_tm.T
+    U_td = U_t + lam * (U_t * jnp.eye(P, dtype=r.dtype)) + 1e-9 * jnp.eye(
+        P, dtype=r.dtype
+    )
+    S_tt = U_td - Y_tm @ Y_tm.T
+
+    gls = [
+        l11 * parts.g_l[0] + l21 * parts.g_l[1] + l31 * parts.g_l[2],
+        l22 * parts.g_l[1] + l32 * parts.g_l[2],
+        l33 * parts.g_l[2],
+    ]
+    b_t = g_t - Y_tm @ jnp.stack(gls).reshape(3 * L)
+
+    S_full = jnp.block([[S_cc, S_ct], [S_ct.T, S_tt]])
+    b_full = jnp.concatenate([parts.b.reshape(C * 6), b_t])
+    dx = jax.scipy.linalg.solve(
+        S_full + 1e-8 * jnp.eye(C * 6 + P, dtype=r.dtype),
+        b_full,
+        assume_a="pos",
+    )
+    dx_cam = dx[: C * 6].reshape(C, 6)
+    dtheta = dx[C * 6 :]
+
+    # back-substitution with the intrinsics correction:
+    # dx_l = V^-1 (g_l - W_cl^T dx_cam - W_tl^T dtheta)
+    dxc = _bcast_rows(dx_cam, parts.ocT)
+    W, Vi, g_l = parts.W, parts.Vi, parts.g_l
+    t = [
+        jnp.sum(sum(W[i][h] * dxc[i] for i in range(6)), axis=0)
+        + sum(wth[p][h] * dtheta[p] for p in range(P))
+        for h in range(3)
+    ]
+    rhs = [g_l[h] - t[h] for h in range(3)]
+    ia, ib, ic, id_, ie, if_ = Vi
+    dx_pt = jnp.stack(
+        [
+            ia * rhs[0] + ib * rhs[1] + ic * rhs[2],
+            ib * rhs[0] + id_ * rhs[1] + ie * rhs[2],
+            ic * rhs[0] + ie * rhs[1] + if_ * rhs[2],
+        ],
+        axis=-1,
+    )  # (L, 3)
+    return dx_cam, dx_pt, dtheta
 
 
 def _schur_solve_pcg(problem, r, Jc, Jl, lam, cg_iters: int = 100,
@@ -780,6 +974,125 @@ def ba_solve(
         raise ValueError(f"unknown loop mode {loop!r}")
     return BAResult(
         cam_q=q, cam_c=c, points=X, cost_initial=cost0, cost_final=cost, n_iters=it
+    )
+
+
+class JointBAResult(NamedTuple):
+    cam_q: jnp.ndarray
+    cam_c: jnp.ndarray
+    points: jnp.ndarray
+    intr: cam.Intrinsics
+    cost_initial: jnp.ndarray
+    cost_final: jnp.ndarray
+    n_iters: jnp.ndarray
+
+
+def ba_solve_joint(
+    problem: BAProblem,
+    max_iters: int = 20,
+    huber_delta_px: float = 4.0,
+    lam0: float = 1e-4,
+    lam_up: float = 4.0,
+    lam_down: float = 0.25,
+    rtol: float = 1e-6,
+    refine_focal: bool = True,
+    refine_pp: bool = True,
+    refine_disto: bool = True,
+    disto_max_order: int | None = None,
+    loop: str = "while",
+) -> JointBAResult:
+    """LM over poses + points + SHARED intrinsics in one Schur problem.
+
+    This is the reference's semantics — Ceres refines intrinsics inside
+    every BA (BundleAdjustment.hpp REFINE_INTRINSICS_*). The alternating
+    refine_intrinsics pass stalls when poses absorb distortion (the
+    focal/depth 'dolly-zoom' coupling); the joint system does not. Dense
+    reduced solve only (the intrinsics block adds <= 10 rows)."""
+    idx = []
+    if refine_focal:
+        idx += [0, 1]
+    if refine_pp:
+        idx += [2, 3]
+    if refine_disto:
+        n_d = cam.DISTO_PARAMS if disto_max_order is None else min(
+            disto_max_order, cam.DISTO_PARAMS
+        )
+        idx += [4 + i for i in range(n_d)]
+    intr_param_idx = tuple(idx)
+    if not intr_param_idx:
+        raise ValueError("nothing selected to refine — use ba_solve")
+    I = problem.intr.scale.shape[0]
+    n_p = 4 + cam.DISTO_PARAMS
+    P = I * len(intr_param_idx)
+    # scatter map from the packed P-vector back to (I, n_p)
+    rows = np.repeat(np.arange(I), len(intr_param_idx))
+    cols = np.tile(np.array(intr_param_idx), I)
+
+    huber = jnp.float32(huber_delta_px)
+    zero_dt = jnp.zeros((I, n_p), jnp.float32)
+    cost0 = _cost(problem, problem.cam_q, problem.cam_c, problem.points, huber)
+
+    def body(state):
+        q, c, X, dt, lam, cost, it, done = state
+        r, Jc, Jl, Jt = _residuals_and_jacobians(
+            problem, q, c, X, dtheta=dt, intr_param_idx=intr_param_idx
+        )
+        n = jnp.sqrt(r[0] * r[0] + r[1] * r[1])
+        w = jnp.where(n <= huber, 1.0, jnp.sqrt(huber / n.clip(_EPS)))
+        w = w * problem.obs_mask.T
+        dx_cam, dx_pt, dth = _schur_solve_joint(
+            problem, r * w, Jc * w, Jl * w, Jt * w, lam
+        )
+        dq = so3_exp(dx_cam[:, 0:3])
+        q_new = _quat_premul_mat(dq, q)
+        c_new = c + dx_cam[:, 3:6]
+        X_new = X + dx_pt
+        dt_new = dt.at[rows, cols].add(dth)
+
+        def cost_with(dt_):
+            rr = _residuals(
+                problem, q_new, c_new, X_new,
+                intr=_intr_apply(problem.intr, dt_),
+            )
+            nn = jnp.sqrt(rr[0] * rr[0] + rr[1] * rr[1])
+            rho = jnp.where(
+                nn <= huber, 0.5 * nn * nn, huber * (nn - 0.5 * huber)
+            )
+            return jnp.sum(jnp.where(problem.obs_mask.T, rho, 0.0))
+
+        new_cost = cost_with(dt_new)
+        ok = jnp.isfinite(new_cost) & (new_cost < cost)
+        q = jnp.where(ok, q_new, q)
+        c = jnp.where(ok, c_new, c)
+        X = jnp.where(ok, X_new, X)
+        dt = jnp.where(ok, dt_new, dt)
+        lam = jnp.where(ok, lam * lam_down, lam * lam_up)
+        lam = jnp.clip(lam, 1e-12, 1e8)
+        improved = jnp.where(ok, (cost - new_cost) / cost.clip(_EPS), 1.0)
+        done = done | (ok & (improved < rtol))
+        cost = jnp.where(ok, new_cost, cost)
+        return (q, c, X, dt, lam, cost, it + 1, done)
+
+    def cond(state):
+        *_, it, done = state
+        return (it < max_iters) & (~done)
+
+    state0 = (
+        problem.cam_q, problem.cam_c, problem.points, zero_dt,
+        jnp.float32(lam0), cost0, jnp.int32(0), jnp.bool_(False),
+    )
+    if loop == "while":
+        q, c, X, dt, lam, cost, it, _ = jax.lax.while_loop(
+            cond, body, state0
+        )
+    else:
+        state = state0
+        for _ in range(max_iters):
+            state = body(state)
+        q, c, X, dt, lam, cost, it, _ = state
+    return JointBAResult(
+        cam_q=q, cam_c=c, points=X, intr=_intr_apply(problem.intr, dt),
+        cost_initial=cost0, cost_final=cost, n_iters=it,
     )
 
 

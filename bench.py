@@ -439,6 +439,152 @@ def bench_e2e_cpu():
     return dt
 
 
+def bench_e2e_tpu():
+    """The 10-image pipeline on the DEFAULT (TPU) backend with per-stage
+    wall times — quantifies host-round-trip costs on the real chip path
+    (the CPU-jax number isolates the algorithms; this one the deployment).
+    """
+    import tempfile
+
+    from alicevision_tpu.pipeline import stages
+    from alicevision_tpu.utils.render import make_test_dataset
+
+    def run_once(img_dir, work, walls=None):
+        def t(name, fn):
+            t0 = time.perf_counter()
+            out = fn()
+            if walls is not None:
+                walls[name] = round(time.perf_counter() - t0, 1)
+            return out
+
+        scene = os.path.join(work, "cameraInit.sfm")
+        t("cameraInit", lambda: stages.camera_init(
+            img_dir, scene, default_focal_px=400.0))
+        feats = os.path.join(work, "features")
+        t("featureExtraction", lambda: stages.feature_extraction(
+            scene, feats, max_keypoints=2048, downscale_to=0))
+        pairs_f = os.path.join(work, "pairs.txt")
+        t("imageMatching", lambda: stages.image_matching(
+            scene, feats, pairs_f, method="exhaustive"))
+        matches_f = os.path.join(work, "matches.npz")
+        t("featureMatching", lambda: stages.feature_matching(
+            scene, feats, pairs_f, matches_f))
+        out = t("incrementalSfM", lambda: stages.incremental_sfm(
+            scene, feats, matches_f, os.path.join(work, "sfm.sfm")))
+        return out.n_poses
+
+    with tempfile.TemporaryDirectory() as d:
+        img_dir = os.path.join(d, "imgs")
+        os.makedirs(img_dir)
+        make_test_dataset(img_dir, n_views=10, wh=(480, 360), focal=400.0)
+        os.makedirs(os.path.join(d, "w1"))
+        run_once(img_dir, os.path.join(d, "w1"))  # warm jit caches
+        os.makedirs(os.path.join(d, "w2"))
+        walls = {}
+        t0 = time.perf_counter()
+        n_poses = run_once(img_dir, os.path.join(d, "w2"), walls)
+        dt = time.perf_counter() - t0
+    if n_poses < 8:
+        raise RuntimeError(f"e2e-tpu posed only {n_poses}/10 views")
+    return {
+        "e2e_10img_wall_s_tpu": round(dt, 1),
+        "e2e_tpu_stage_walls": walls,
+    }
+
+
+def bench_hard_ate():
+    """ATE on the HARD rendered benchmark (occlusion + radial distortion +
+    noise + verified outliers), run on CPU jax — the parity-evidence
+    metric demanded by BASELINE.json's north star."""
+    import jax
+
+    from alicevision_tpu import camera as avcam
+    from alicevision_tpu.sfm.incremental import (
+        IncrementalConfig,
+        IncrementalSfM,
+    )
+    from alicevision_tpu.tracks.builder import build_tracks
+    from alicevision_tpu.utils.rendered import (
+        hard_scene,
+        verified_matches_from_scene,
+    )
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        hs = hard_scene(n_views=30, n_points=600)
+        pm, fxy, nf = verified_matches_from_scene(hs)
+        tracks = build_tracks(pm, nf, min_track_length=2)
+        w, h = hs.image_size
+        intr = avcam.make_intrinsics(
+            w, h, float(hs.K[0, 0]) * 1.02,
+            disto_kind=avcam.DISTO_RADIALK3, disto_params=(0.0, 0.0, 0.0),
+        )
+        import jax.tree_util as jtu
+
+        intr = avcam.Intrinsics(*jtu.tree_map(lambda a: np.asarray(a)[None], intr))
+        eng = IncrementalSfM(
+            tracks, fxy, intr,
+            view_intrinsic=np.zeros(30, np.int32),
+            image_sizes=np.tile([w, h], (30, 1)),
+            config=IncrementalConfig(robust_triangulation=True, seed=0),
+        )
+        res = eng.process()
+    posed = np.nonzero(res.posed)[0]
+    est = res.pose_c[posed]
+    gt = hs.c[posed]
+    mu_e, mu_g = est.mean(0), gt.mean(0)
+    ec, gc = est - mu_e, gt - mu_g
+    U, S, Vt = np.linalg.svd(gc.T @ ec / len(est))
+    D = np.eye(3)
+    if np.linalg.det(U @ Vt) < 0:
+        D[2, 2] = -1
+    R = U @ D @ Vt
+    s = np.trace(np.diag(S) @ D) / ((ec**2).sum() / len(est))
+    ate = float(np.sqrt(np.mean(np.sum(
+        (est @ (s * R).T + (mu_g - s * R @ mu_e) - gt) ** 2, axis=1))))
+    radius = float(np.linalg.norm(hs.c - hs.c.mean(0), axis=1).mean())
+    # rms reprojection of the final model, in pixels
+    from alicevision_tpu.sfm import ba as ba_mod
+
+    m = eng._obs_table_mask()
+    problem = eng._make_problem(m, cam_fixed=~res.posed)
+    rms_px = float(np.asarray(ba_mod.rms_reprojection_error(
+        problem, problem.cam_q, problem.cam_c, problem.points)))
+    return {
+        "hard_scene_posed": f"{len(posed)}/30",
+        "hard_scene_ate_rel": round(ate / radius, 5),
+        "hard_scene_rms_px": round(rms_px, 3),
+    }
+
+
+def bench_comms():
+    """Collective-bytes vs local-FLOPs accounting of the compiled sharded
+    BA at 1/2/4/8 shards (virtual CPU mesh) — the honest scaling proxy in
+    a 1-chip image (see parallel/comms_report.py)."""
+    import jax
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    jax.config.update("jax_platforms", "cpu")
+    from alicevision_tpu.parallel.comms_report import ba_comms_table
+
+    rows = ba_comms_table()
+    return {
+        "ba_comms_table": {
+            str(r["shards"]): {
+                "collective_mb": round(r["collective_bytes"] / 1e6, 2),
+                "gflops_per_shard": round(r["flops_per_shard"] / 1e9, 2),
+                "bytes_per_flop": round(r["bytes_per_flop"], 4),
+                "projected_ici_eff": r["projected_ici_efficiency"],
+            }
+            for r in rows
+        }
+    }
+
+
 def _section_ba_small():
     v, problem = bench_ba_small()
     from benchmarks.cpu_lm_reference import (
@@ -476,6 +622,9 @@ SECTIONS = {
     },
     "matching": bench_matching,
     "e2e": lambda: {"e2e_10img_wall_s": round(bench_e2e_cpu(), 1)},
+    "e2e_tpu": bench_e2e_tpu,
+    "hard_ate": bench_hard_ate,
+    "comms": bench_comms,
 }
 
 

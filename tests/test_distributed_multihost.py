@@ -93,7 +93,8 @@ def test_multihost_ba_two_processes(tmp_path):
     assert results[0]["cost_final"] == pytest.approx(results[1]["cost_final"])
     dist_cost = results[0]["cost_final"]
     assert np.isfinite(dist_cost)
-    # parity with the single-process solve (same math, different layout;
-    # f32 reductions in a different order -> loose relative tolerance)
-    assert dist_cost <= single_cost * 1.5 + 1e-3
+    # parity with the single-process solve: sharding is layout-only on
+    # identical math (measured bit-identical on the virtual mesh); 1e-2
+    # relative only allows for reduction-order float reassociation
+    assert abs(dist_cost - single_cost) <= 1e-2 * max(abs(single_cost), 1e-6)
     assert dist_cost < results[0]["cost_initial"] * 1e-2

@@ -12,77 +12,12 @@ import pytest
 from alicevision_tpu import camera as cam
 from alicevision_tpu.sfm.incremental import IncrementalConfig, IncrementalSfM
 from alicevision_tpu.tracks.builder import build_tracks
-from alicevision_tpu.utils.rendered import hard_scene
+from alicevision_tpu.utils.rendered import (
+    hard_scene,
+    verified_matches_from_scene as matches_from_scene,
+)
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "hard_scene_poses.npz")
-
-
-def matches_from_scene(hs, ring_window=4, outlier_frac=0.02, seed=7,
-                       verify_px=30.0):
-    """Pairwise feature matches from co-visibility + wrong-match outliers,
-    passed through an epipolar verification emulating featureMatching's
-    geometric filter (the real pipeline never feeds raw putative matches
-    to track building). The threshold is loose because verification runs
-    on distortion-corrupted coordinates with an adaptive AC threshold —
-    epipolar-consistent outliers survive, exactly as they do for the
-    reference."""
-    V, P = hs.visible.shape
-    rng = np.random.RandomState(seed)
-    feat_of = -np.ones((V, P), np.int64)
-    features_xy = {}
-    for v in range(V):
-        vis = np.nonzero(hs.visible[v])[0]
-        feat_of[v, vis] = np.arange(len(vis))
-        features_xy[v] = hs.observations[v, vis].astype(np.float32)
-    f_px = hs.K[0, 0]
-    cx, cy = hs.K[0, 2], hs.K[1, 2]
-    pair_matches = {}
-    for i in range(V):
-        for dj in range(1, ring_window + 1):
-            j = (i + dj) % V
-            if j <= i:
-                continue
-            common = np.nonzero(hs.visible[i] & hs.visible[j])[0]
-            if len(common) < 8:
-                continue
-            m = np.stack([feat_of[i, common], feat_of[j, common]], axis=1)
-            n_out = int(outlier_frac * len(m))
-            if n_out:
-                rows = rng.choice(len(m), n_out, replace=False)
-                m[rows, 1] = rng.randint(0, hs.visible[j].sum(), n_out)
-            # geometric verification with the pair's true essential matrix
-            R_rel = hs.R[j] @ hs.R[i].T
-            t_rel = hs.R[j] @ (hs.c[i] - hs.c[j])
-            tx = np.array([
-                [0, -t_rel[2], t_rel[1]],
-                [t_rel[2], 0, -t_rel[0]],
-                [-t_rel[1], t_rel[0], 0],
-            ])
-            E = tx @ R_rel
-            vis_j = np.nonzero(hs.visible[j])[0]
-            uv_i = features_xy[i][m[:, 0]]
-            uv_j = features_xy[j][m[:, 1]]
-            x1 = np.column_stack(
-                [(uv_i - [cx, cy]) / f_px, np.ones(len(m))]
-            )
-            x2 = np.column_stack(
-                [(uv_j - [cx, cy]) / f_px, np.ones(len(m))]
-            )
-            Ex1 = x1 @ E.T
-            x2tEx1 = np.sum(x2 * Ex1, axis=1)
-            Etx2 = x2 @ E
-            denom = (
-                Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2
-                + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
-            )
-            sampson = x2tEx1**2 / np.maximum(denom, 1e-12)
-            keep = sampson < (verify_px / f_px) ** 2
-            m = m[keep]
-            del vis_j
-            if len(m) >= 8:
-                pair_matches[(i, j)] = m
-    n_feats = {v: int(hs.visible[v].sum()) for v in range(V)}
-    return pair_matches, features_xy, n_feats
 
 
 def _align_similarity(a, b):

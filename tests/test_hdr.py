@@ -167,3 +167,45 @@ def test_highlight_recovery_lifts_clamped_pixels():
     # zero correction factor is the identity
     out0 = highlight_recovery(radiance, ldr, 1.0, correction_factor=0.0)
     np.testing.assert_allclose(np.asarray(out0), np.asarray(radiance))
+
+
+def test_emor_tables_shape_and_endpoints():
+    """The shipped EMoR inverse basis (DoRF PCA, emorCurveInv.cpp data):
+    mean curve spans [0,1] monotonically, basis rows are zero-mean-ish
+    deviations pinned near the endpoints."""
+    import numpy as np
+    from alicevision_tpu.hdr.calibration import emor_tables, grossberg_apply
+    import jax.numpy as jnp
+
+    f0, h = emor_tables()
+    assert f0.shape == (1024,) and h.shape == (25, 1024)
+    assert abs(f0[0]) < 1e-6 and abs(f0[-1] - 1.0) < 1e-6
+    assert np.all(np.diff(f0) > -1e-6)  # monotone mean inverse response
+    # zero coefficients reproduce the mean curve exactly
+    v = jnp.linspace(0, 1, 64)
+    out = grossberg_apply(jnp.zeros(6), v, kind="emor")
+    ref = np.interp(np.asarray(v), np.linspace(0, 1, 1024), f0)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_grossberg_emor_fits_gamma_response():
+    """EMoR calibration recovers radiance ratios under a gamma camera."""
+    import numpy as np
+    import jax.numpy as jnp
+    from alicevision_tpu.hdr.calibration import (
+        grossberg_apply,
+        grossberg_calibrate,
+    )
+
+    rng = np.random.RandomState(0)
+    E = rng.uniform(0.02, 0.6, 400)  # radiances
+    ts = np.array([1.0, 2.0, 4.0])
+    g = 1.0 / 2.2
+    samples = np.clip((E[None] * ts[:, None]) ** g, 0, 1)  # gamma response
+    c = grossberg_calibrate(jnp.asarray(samples, jnp.float32),
+                            jnp.asarray(ts, jnp.float32), n_coeffs=8)
+    h = np.asarray(grossberg_apply(c, jnp.asarray(samples[0], jnp.float32)))
+    # recovered radiance proportional to the true one (mid-range samples)
+    sel = (samples[0] > 0.15) & (samples[0] < 0.9)
+    ratio = h[sel] / E[sel]
+    assert np.std(ratio) / np.mean(ratio) < 0.05
