@@ -87,7 +87,7 @@ def localize_image(
     )
     if len(world) < min_inliers:
         return LocalizationResult(np.eye(3), np.zeros(3), 0, False)
-    n = len(sel)
+    n = len(world)
     cap = 1 << int(np.ceil(np.log2(max(n, 32))))
     world_p = np.pad(world, ((0, cap - n), (0, 0)))
     obs_p = np.pad(obs, ((0, cap - n), (0, 0)))

@@ -66,7 +66,9 @@ def detect_sphere_onnx(image, model_path: str, threshold: float = 0.5):
     run = onnx_model(model_path)
     img = np.asarray(image, np.float32)
     scores = segment_tiled(img if img.ndim == 3 else img[..., None], run)
-    mask = scores[..., 0] > threshold
+    if scores.ndim == 3:  # multi-class model: class 0 is the sphere score
+        scores = scores[..., 0]
+    mask = scores > threshold
     if mask.sum() < 16:
         return None
     ys, xs = np.nonzero(mask)

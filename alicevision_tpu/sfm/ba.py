@@ -760,22 +760,10 @@ def _schur_solve_joint(problem, r, Jc, Jl, Jt, lam):
     return dx_cam, dx_pt, dtheta
 
 
-def _schur_solve_pcg(problem, r, Jc, Jl, lam, cg_iters: int = 100,
-                     cg_tol: float = 1e-2, loop: str = "while"):
-    """Matrix-free PCG on the reduced camera system S dx = b.
-
-    Never materializes S (6C x 6C) or the (6C, 3L) elimination factor B —
-    each matvec streams the observation table twice (broadcast + scatter),
-    so memory stays O(K*L) planes regardless of camera count. This is the
-    large-scene analog of the reference's ITERATIVE_SCHUR / SPARSE_SCHUR
-    switch (BundleAdjustmentCeres.cpp:216-231), with the SCHUR_JACOBI
-    block-diagonal preconditioner: because a landmark observes each camera
-    at most once, diag_c(S) = U_d[c] - sum_{l,k: cam=c} Y_lk Y_lk^T exactly
-    (no cross-observation pairs hit the same diagonal block).
-    """
-    L, K = problem.obs_mask.shape
-    C = problem.cam_q.shape[0]
-    parts = _schur_prelude(problem, r, Jc, Jl, lam)
+def _s_operator(parts: _SchurParts, C: int, dtype):
+    """(S_apply, M_apply) — the matrix-free reduced-camera operator and
+    its SCHUR_JACOBI preconditioner. Shared by the PCG solve and the
+    memory-light covariance column solves."""
     Y, U_d, ocT = parts.Y, parts.U_d, parts.ocT
 
     # SCHUR_JACOBI preconditioner: exact diagonal blocks of S.
@@ -789,7 +777,7 @@ def _schur_solve_pcg(problem, r, Jc, Jl, lam, cg_iters: int = 100,
         Sd = Sd.at[:, i, j].add(-YYc[:, n])
         if i != j:
             Sd = Sd.at[:, j, i].add(-YYc[:, n])
-    Sd = Sd + 1e-8 * jnp.eye(6, dtype=r.dtype)
+    Sd = Sd + 1e-8 * jnp.eye(6, dtype=dtype)
     Minv = jnp.linalg.inv(Sd)  # (C, 6, 6) batched tiny inverses
 
     def S_apply(x):  # x: (C, 6)
@@ -812,6 +800,27 @@ def _schur_solve_pcg(problem, r, Jc, Jl, lam, cg_iters: int = 100,
 
     def M_apply(v):
         return jnp.einsum("cij,cj->ci", Minv, v, precision="highest")
+
+    return S_apply, M_apply
+
+
+def _schur_solve_pcg(problem, r, Jc, Jl, lam, cg_iters: int = 100,
+                     cg_tol: float = 1e-2, loop: str = "while"):
+    """Matrix-free PCG on the reduced camera system S dx = b.
+
+    Never materializes S (6C x 6C) or the (6C, 3L) elimination factor B —
+    each matvec streams the observation table twice (broadcast + scatter),
+    so memory stays O(K*L) planes regardless of camera count. This is the
+    large-scene analog of the reference's ITERATIVE_SCHUR / SPARSE_SCHUR
+    switch (BundleAdjustmentCeres.cpp:216-231), with the SCHUR_JACOBI
+    block-diagonal preconditioner: because a landmark observes each camera
+    at most once, diag_c(S) = U_d[c] - sum_{l,k: cam=c} Y_lk Y_lk^T exactly
+    (no cross-observation pairs hit the same diagonal block).
+    """
+    L, K = problem.obs_mask.shape
+    C = problem.cam_q.shape[0]
+    parts = _schur_prelude(problem, r, Jc, Jl, lam)
+    S_apply, M_apply = _s_operator(parts, C, r.dtype)
 
     b = parts.b
     bnorm2 = jnp.sum(b * b)
@@ -1174,13 +1183,65 @@ def refine_intrinsics(
     return apply_delta(dp)
 
 
+def pose_covariances_pcg(
+    problem: BAProblem, cam_q, cam_c, points,
+    cam_indices=None, cg_iters: int = 200,
+) -> jnp.ndarray:
+    """Memory-light covariance: diag blocks of S^-1 via matrix-free PCG
+    column solves (6 per requested camera) — O(K*L) memory regardless of
+    camera count, where the dense path's (C, C, 6, 6) is a wall past a
+    few thousand cameras. Returns (len(cam_indices), 6, 6)."""
+    C = cam_q.shape[0]
+    L, K = problem.obs_mask.shape
+    if cam_indices is None:
+        cam_indices = jnp.arange(C)
+    cam_indices = jnp.asarray(cam_indices)
+
+    r, Jc, Jl = _residuals_and_jacobians(problem, cam_q, cam_c, points)
+    mT = problem.obs_mask.T.astype(r.dtype)
+    parts = _schur_prelude(problem, r, Jc, Jl, jnp.float32(0.0))
+    S_apply, M_apply = _s_operator(parts, C, r.dtype)
+
+    def solve_col(ci, j):
+        e = jnp.zeros((C, 6), r.dtype).at[ci, j].set(1.0)
+
+        def body(_, state):
+            x, res, z, p = state
+            Sp = S_apply(p) + 1e-6 * p
+            rz = jnp.sum(res * z)
+            alpha = rz / jnp.sum(p * Sp).clip(_EPS)
+            x = x + alpha * p
+            res_n = res - alpha * Sp
+            z_n = M_apply(res_n)
+            beta = jnp.sum(res_n * z_n) / rz.clip(_EPS)
+            return (x, res_n, z_n, p * beta + z_n)
+
+        z0 = M_apply(e)
+        x, *_ = jax.lax.fori_loop(
+            0, cg_iters, body, (jnp.zeros_like(e), e, z0, z0)
+        )
+        return x[ci]  # (6,) the diagonal block's column j at camera ci
+
+    def per_cam(ci):
+        return jnp.stack(
+            [solve_col(ci, j) for j in range(6)], axis=-1
+        )  # (6, 6)
+
+    blocks = jax.lax.map(per_cam, cam_indices)
+    n_obs = jnp.sum(problem.obs_mask)
+    dof = jnp.maximum(2.0 * n_obs - 6.0 * C - 3.0 * L, 1.0)
+    sigma2 = jnp.sum((r * mT) ** 2) / dof
+    return sigma2 * 0.5 * (blocks + jnp.swapaxes(blocks, -1, -2))
+
+
 def pose_covariances(problem: BAProblem, cam_q, cam_c, points) -> jnp.ndarray:
     """Per-camera 6x6 pose covariance from the (undamped) reduced camera
     system: diag blocks of S^-1 scaled by the residual variance.
 
     TPU-native counterpart of the reference's uncertainty computation
     (ref: src/software/utils/main_computeUncertainty.cpp on UncertaintyTE —
-    covariance via Schur-complement inverse). Returns (C, 6, 6).
+    covariance via Schur-complement inverse). Returns (C, 6, 6). Dense
+    (C, C, 6, 6) assembly — use `pose_covariances_pcg` past ~2000 cameras.
     """
     r, Jc, Jl = _residuals_and_jacobians(problem, cam_q, cam_c, points)
     # this cold path keeps the original landmark-major block algebra: adapt

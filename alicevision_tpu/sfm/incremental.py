@@ -786,14 +786,33 @@ def _triangulate_gated_robust(Pb, uv, mask, centers, max_err_norm, min_angle_rad
     return jnp.where(good[:, None], X, jnp.nan)
 
 
-@jax.jit
+def _ba_loop_mode() -> str:
+    """AV_BA_LOOP=unrolled trades one straight-line compile for the HLO
+    While that costs a host round-trip per iteration on relay-attached
+    TPU runtimes (see ba_solve loop='unrolled')."""
+    import os
+
+    return os.environ.get("AV_BA_LOOP", "while")
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _ba_solve_jit_impl(problem, loop):
+    return ba_mod.ba_solve(problem, max_iters=25, loop=loop)
+
+
 def _ba_solve_jit(problem):
-    return ba_mod.ba_solve(problem, max_iters=25)
+    return _ba_solve_jit_impl(problem, _ba_loop_mode())
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _ba_solve_joint_jit(problem, refine_pp, disto_max_order):
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _ba_solve_joint_jit_impl(problem, refine_pp, disto_max_order, loop):
     return ba_mod.ba_solve_joint(
         problem, max_iters=15, refine_pp=refine_pp,
-        disto_max_order=disto_max_order,
+        disto_max_order=disto_max_order, loop=loop,
+    )
+
+
+def _ba_solve_joint_jit(problem, refine_pp, disto_max_order):
+    return _ba_solve_joint_jit_impl(
+        problem, refine_pp, disto_max_order, _ba_loop_mode()
     )

@@ -233,6 +233,11 @@ def bench_depth_maps():
     )
 
     # SGM at scale2 + stepXY2 of a 1920x1080 capture -> 480x270 volume.
+    # D=256 planes: the reference CAPS depths at maxDepths=1500
+    # (SgmParams.hpp:23) but sizes the actual list from SfM landmark
+    # ranges (SgmDepthList) — real scenes at this resolution land in the
+    # 100-400 plane regime, and our per-view seeded lists (mvs/depth_list)
+    # do the same; the sweep cost is linear in D, so scale accordingly.
     Hs, Ws, D, T = 272, 480, 256, 4
     Hr, Wr = 544, 960  # refine at scale 1 (of the prepared half-res image)
     rng = np.random.RandomState(0)
@@ -445,6 +450,10 @@ def bench_e2e_tpu():
     (the CPU-jax number isolates the algorithms; this one the deployment).
     """
     import tempfile
+
+    # HLO While costs a host round-trip per iteration through the axon
+    # relay — run BA as a straight-line program on this path
+    os.environ.setdefault("AV_BA_LOOP", "unrolled")
 
     from alicevision_tpu.pipeline import stages
     from alicevision_tpu.utils.render import make_test_dataset

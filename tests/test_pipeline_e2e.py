@@ -95,6 +95,37 @@ def test_mvs_stages(dataset, work):
     assert os.path.exists(cloud)
 
 
+def test_colored_point_cloud_export(dataset, work, tmp_path):
+    """exportColoredPointCloud samples real observation pixels
+    (colorizeTracks semantics) — landmarks must NOT be the all-white
+    default in the exported PLY."""
+    sfm_out = os.path.join(work, "sfm.sfm")
+    dense = os.path.join(work, "dense")
+    if not (os.path.exists(sfm_out) and os.path.isdir(dense)):
+        pytest.skip("sfm/dense stages did not run")
+    sc = sfmdata.load(sfm_out)
+    cols = sfmdata.colorize_tracks(sc, sfmdata.npy_folder_loader(sc, dense))
+    obs_lms = np.unique(sc.obs_landmark)
+    assert len(obs_lms) > 50
+    sampled = cols[obs_lms]
+    assert not np.all(sampled == 255)  # real pixels, not the default
+    assert sampled.std() > 5.0  # textured scene -> varied colors
+    ply = str(tmp_path / "colored.ply")
+    sfmdata.save_ply(sc, ply)
+    txt = open(ply).read()
+    assert "property uchar red" in txt
+
+    # the CLI subcommand drives the same path
+    from alicevision_tpu.pipeline.cli import main
+
+    ply2 = str(tmp_path / "colored_cli.ply")
+    rc = main([
+        "exportColoredPointCloud", "--input", sfm_out,
+        "--imagesFolder", dense, "--output", ply2,
+    ])
+    assert rc == 0 and os.path.exists(ply2)
+
+
 def test_cli_entry(dataset, tmp_path):
     """The argparse CLI wires to the same stages."""
     from alicevision_tpu.pipeline.cli import main
