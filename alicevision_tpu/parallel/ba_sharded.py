@@ -98,8 +98,17 @@ def make_sharded_ba(mesh: Mesh, max_iters: int = 25):
     out_shardings = ba_mod.BAResult(
         cam_q=rep, cam_c=rep, points=lm, cost_initial=rep, cost_final=rep, n_iters=rep
     )
+    def _solve(p):
+        # trace-time switch: use the SPMD-safe contraction forms (no
+        # reshape across the sharded landmark axis — see ba._SPMD_FORMS)
+        ba_mod._SPMD_FORMS = True
+        try:
+            return ba_mod.ba_solve(p, max_iters=max_iters)
+        finally:
+            ba_mod._SPMD_FORMS = False
+
     fn = jax.jit(
-        lambda p: ba_mod.ba_solve(p, max_iters=max_iters),
+        _solve,
         in_shardings=(in_shardings,),
         out_shardings=out_shardings,
     )

@@ -322,14 +322,26 @@ def feature_matching(
             )
             out[f"{i}_{j}"] = pm[inlier]
             continue
-        x1 = jnp.asarray(fi["xy"][pm[:, 0]], jnp.float32)
-        x2 = jnp.asarray(fj["xy"][pm[:, 1]], jnp.float32)
+        # pad to a power-of-two bucket: per-pair match counts all differ,
+        # and an unpadded call would RECOMPILE the AC-RANSAC program for
+        # every distinct length (measured as the bulk of this stage's wall
+        # on the relay-attached chip path)
+        n = len(pm)
+        cap = 1 << int(np.ceil(np.log2(max(n, 32))))
+        x1 = np.zeros((cap, 2), np.float32)
+        x2 = np.zeros((cap, 2), np.float32)
+        x1[:n] = fi["xy"][pm[:, 0]]
+        x2[:n] = fj["xy"][pm[:, 1]]
+        vmask = np.zeros(cap, bool)
+        vmask[:n] = True
         w, h = float(sc.view_sizes[i, 0]), float(sc.view_sizes[i, 1])
         key, k1 = jax.random.split(key)
         rm = robust.robust_fundamental(
-            k1, x1, x2, im_size=(w, h), n_hyps=n_ransac_hyps, max_error_px=max_error_px
+            k1, jnp.asarray(x1), jnp.asarray(x2), im_size=(w, h),
+            valid=jnp.asarray(vmask),
+            n_hyps=n_ransac_hyps, max_error_px=max_error_px,
         )
-        inl = np.asarray(rm.inliers)
+        inl = np.asarray(rm.inliers)[:n]
         out[f"{i}_{j}"] = pm[inl]
     np.savez_compressed(output_matches, **out)
 

@@ -149,31 +149,49 @@ def build_problem(
 _ONEHOT_BUDGET = 48 * 1024 * 1024
 
 
-def _bcast_rows(tbl, ocT):
-    """Broadcast per-camera rows tbl (C, D) to observations -> (D, K, L).
+# Trace-time switch for SPMD-safe contraction forms. Under pjit with the
+# landmark axis sharded, any reshape merging a LOCAL axis into the sharded
+# one ((K*L,), (6C, 3L)) forces the partitioner to ALL-GATHER the operand
+# (measured 17 MB/iter at 2 shards, ~99% of the distributed BA's
+# collective traffic); keeping K/L separate einsum axes lets XLA psum the
+# tiny (C, ...) partials instead. On a SINGLE chip the merged-axis
+# dot_general forms lower ~3x faster on the MXU (measured 192 vs 64 LM
+# it/s), so the solvers pick the form by the `spmd` flag that
+# parallel/ba_sharded.make_sharded_ba sets.
+_SPMD_FORMS = False
 
-    The L (landmark) axis may be SHARDED under pjit: all contractions keep
-    K and L as separate axes — reshaping (K*L,) would merge a local axis
-    into the sharded one and force XLA to all-gather the operand (measured
-    as the dominant collective of the distributed BA before this)."""
+
+def _bcast_rows(tbl, ocT):
+    """Broadcast per-camera rows tbl (C, D) to observations -> (D, K, L)."""
     C, D = tbl.shape
     K, L = ocT.shape
     if C * K * L <= _ONEHOT_BUDGET:
-        oh = jax.nn.one_hot(ocT, C, dtype=tbl.dtype, axis=0)  # (C, K, L)
-        return jnp.einsum("cd,ckl->dkl", tbl, oh, precision="highest")
+        if _SPMD_FORMS:
+            oh = jax.nn.one_hot(ocT, C, dtype=tbl.dtype, axis=0)
+            return jnp.einsum("cd,ckl->dkl", tbl, oh, precision="highest")
+        oh = jax.nn.one_hot(ocT, C, dtype=tbl.dtype, axis=0).reshape(C, K * L)
+        return jax.lax.dot_general(
+            tbl.T, oh, (((1,), (0,)), ((), ())), precision="highest"
+        ).reshape(D, K, L)
     return jnp.moveaxis(tbl[ocT], -1, 0)
 
 
 def _accum_cams(planes, ocT, C):
     """Accumulate per-observation planes (D, K, L) into (C, D) rows.
 
-    Values must already carry the observation mask (zero where invalid).
-    Contraction over (k, l) with l sharded -> XLA psums the small (C, D)
-    partials (see _bcast_rows on why K/L stay separate axes)."""
+    Values must already carry the observation mask (zero where invalid)."""
     D, K, L = planes.shape
     if C * K * L <= _ONEHOT_BUDGET:
-        oh = jax.nn.one_hot(ocT, C, dtype=planes.dtype, axis=0)  # (C, K, L)
-        return jnp.einsum("ckl,dkl->cd", oh, planes, precision="highest")
+        if _SPMD_FORMS:
+            oh = jax.nn.one_hot(ocT, C, dtype=planes.dtype, axis=0)
+            return jnp.einsum("ckl,dkl->cd", oh, planes, precision="highest")
+        oh = jax.nn.one_hot(ocT, C, dtype=planes.dtype, axis=0).reshape(
+            C, K * L
+        )
+        return jax.lax.dot_general(
+            oh, planes.reshape(D, K * L),
+            (((1,), (1,)), ((), ())), precision="highest",
+        )
     return (
         jnp.zeros((C, D), planes.dtype)
         .at[ocT.reshape(-1)]
@@ -607,17 +625,22 @@ def _schur_solve(problem, r, Jc, Jl, lam):
         [parts.Y[i][h] for i in range(6) for h in range(3)]
     )  # (18,K,L)
     oh_kl = jax.nn.one_hot(parts.ocT, C, dtype=r.dtype, axis=0)  # (C, K, L)
-    # output order cihl => B6 keeps L as its own MINOR axis. Under pjit the
-    # L axis is the sharded one: contracting it via einsum lets XLA psum
-    # the tiny (C,6,C,6) partials, whereas a reshape merging (3, L) into
-    # one axis forces an ALL-GATHER of the whole 6C x 3L factor first
-    # (measured 17 MB/step/pair vs ~50 KB — the difference between 1% and
-    # ~100% projected ICI scaling efficiency).
+    # output order cihl keeps L as its own MINOR axis. SPMD form: contract
+    # L via einsum so XLA psums the tiny (C,6,C,6) partials (a reshape
+    # merging (3, L) would all-gather the whole 6C x 3L factor — see
+    # _SPMD_FORMS); single-chip form: the merged-axis dot_general, ~3x
+    # faster on the MXU.
     B = jnp.einsum("ckl,dkl->cdl", oh_kl, Y18, precision="highest")
-    B6 = B.reshape(C, 6, 3, L)  # split of the LOCAL 18-axis only
-    S_off = -jnp.einsum(
-        "cihl,ejhl->ciej", B6, B6, precision="highest"
-    ).reshape(C * 6, C * 6)
+    if _SPMD_FORMS:
+        B6 = B.reshape(C, 6, 3, L)  # split of the LOCAL 18-axis only
+        S_off = -jnp.einsum(
+            "cihl,ejhl->ciej", B6, B6, precision="highest"
+        ).reshape(C * 6, C * 6)
+    else:
+        Bm = B.reshape(C * 6, 3 * L)
+        S_off = -jax.lax.dot_general(
+            Bm, Bm, (((1,), (1,)), ((), ())), precision="highest"
+        )
     D = jnp.einsum("cd,cij->cidj", jnp.eye(C, dtype=r.dtype), parts.U_d)
     S_mat = S_off + D.reshape(C * 6, C * 6)
 

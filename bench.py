@@ -445,10 +445,18 @@ def bench_e2e_cpu():
 
 
 def bench_e2e_tpu():
-    """The 10-image pipeline on the DEFAULT (TPU) backend with per-stage
-    wall times — quantifies host-round-trip costs on the real chip path
-    (the CPU-jax number isolates the algorithms; this one the deployment).
+    """A 6-image pipeline on the DEFAULT (TPU) backend with per-stage wall
+    times — quantifies host-round-trip costs on the real chip path (the
+    CPU-jax number isolates the algorithms; this one the deployment).
+
+    NOTE this deployment path is DISPATCH-bound on the axon relay: a
+    10-image warm+measured run made hundreds of small host->relay round
+    trips and sat >45 min at ~5% CPU. The section therefore runs a single
+    6-image pass (compile cache shared with earlier sections) and reports
+    per-stage walls — the per-stage breakdown IS the requested profile of
+    where host-bound time goes.
     """
+    import sys
     import tempfile
 
     # HLO While costs a host round-trip per iteration through the axon
@@ -458,12 +466,13 @@ def bench_e2e_tpu():
     from alicevision_tpu.pipeline import stages
     from alicevision_tpu.utils.render import make_test_dataset
 
-    def run_once(img_dir, work, walls=None):
+    def run_once(img_dir, work, walls):
         def t(name, fn):
             t0 = time.perf_counter()
             out = fn()
-            if walls is not None:
-                walls[name] = round(time.perf_counter() - t0, 1)
+            walls[name] = round(time.perf_counter() - t0, 1)
+            print(f"# e2e_tpu {name}: {walls[name]}s", file=sys.stderr,
+                  flush=True)
             return out
 
         scene = os.path.join(work, "cameraInit.sfm")
@@ -471,7 +480,7 @@ def bench_e2e_tpu():
             img_dir, scene, default_focal_px=400.0))
         feats = os.path.join(work, "features")
         t("featureExtraction", lambda: stages.feature_extraction(
-            scene, feats, max_keypoints=2048, downscale_to=0))
+            scene, feats, max_keypoints=1024, downscale_to=0))
         pairs_f = os.path.join(work, "pairs.txt")
         t("imageMatching", lambda: stages.image_matching(
             scene, feats, pairs_f, method="exhaustive"))
@@ -485,19 +494,19 @@ def bench_e2e_tpu():
     with tempfile.TemporaryDirectory() as d:
         img_dir = os.path.join(d, "imgs")
         os.makedirs(img_dir)
-        make_test_dataset(img_dir, n_views=10, wh=(480, 360), focal=400.0)
+        make_test_dataset(img_dir, n_views=6, wh=(480, 360), focal=400.0)
         os.makedirs(os.path.join(d, "w1"))
-        run_once(img_dir, os.path.join(d, "w1"))  # warm jit caches
-        os.makedirs(os.path.join(d, "w2"))
         walls = {}
         t0 = time.perf_counter()
-        n_poses = run_once(img_dir, os.path.join(d, "w2"), walls)
+        n_poses = run_once(img_dir, os.path.join(d, "w1"), walls)
         dt = time.perf_counter() - t0
-    if n_poses < 8:
-        raise RuntimeError(f"e2e-tpu posed only {n_poses}/10 views")
+    if n_poses < 5:
+        raise RuntimeError(f"e2e-tpu posed only {n_poses}/6 views")
+    top = sorted(walls.items(), key=lambda kv: -kv[1])[:2]
     return {
-        "e2e_10img_wall_s_tpu": round(dt, 1),
+        "e2e_6img_wall_s_tpu": round(dt, 1),
         "e2e_tpu_stage_walls": walls,
+        "e2e_tpu_top_host_bound": [k for k, _ in top],
     }
 
 
@@ -520,7 +529,7 @@ def bench_hard_ate():
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        hs = hard_scene(n_views=30, n_points=600)
+        hs = hard_scene(n_views=40, n_points=600)
         pm, fxy, nf = verified_matches_from_scene(hs)
         tracks = build_tracks(pm, nf, min_track_length=2)
         w, h = hs.image_size
@@ -533,8 +542,8 @@ def bench_hard_ate():
         intr = avcam.Intrinsics(*jtu.tree_map(lambda a: np.asarray(a)[None], intr))
         eng = IncrementalSfM(
             tracks, fxy, intr,
-            view_intrinsic=np.zeros(30, np.int32),
-            image_sizes=np.tile([w, h], (30, 1)),
+            view_intrinsic=np.zeros(40, np.int32),
+            image_sizes=np.tile([w, h], (40, 1)),
             config=IncrementalConfig(robust_triangulation=True, seed=0),
         )
         res = eng.process()
@@ -560,7 +569,7 @@ def bench_hard_ate():
     rms_px = float(np.asarray(ba_mod.rms_reprojection_error(
         problem, problem.cam_q, problem.cam_c, problem.points)))
     return {
-        "hard_scene_posed": f"{len(posed)}/30",
+        "hard_scene_posed": f"{len(posed)}/40",
         "hard_scene_ate_rel": round(ate / radius, 5),
         "hard_scene_rms_px": round(rms_px, 3),
     }
