@@ -46,7 +46,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .plane_sweep import SgmParams, warp_homography, zncc
+from .plane_sweep import SgmParams, warp_homography
 
 _EPS = 1e-9
 
@@ -184,23 +184,55 @@ def pair_similarity_rectified(
     # rows are transformed once; the per-plane work is phase * irfft + matmul
     Wp = 2 * W
     t_f = jnp.fft.rfft(jnp.pad(t_rect, ((0, 0), (0, Wp - W))), axis=-1)
-    m_f = jnp.fft.rfft(
-        jnp.pad(t_ok.astype(jnp.float32), ((0, 0), (0, Wp - W))), axis=-1
-    )
+    # the warped-validity region needs NO second FFT channel: t_rect's
+    # valid region is the homography image of a rectangle — a convex quad,
+    # i.e. one u-interval [lo_v, hi_v] per row; validity of the shifted
+    # sample at u_src is an analytic comparison (halves the dominant
+    # per-plane FFT+matmul work, measured)
+    u_axis = jnp.arange(W, dtype=jnp.float32)[None, :]
+    lo_v = jnp.min(jnp.where(t_ok, u_axis, jnp.inf), axis=1)  # (H,)
+    hi_v = jnp.max(jnp.where(t_ok, u_axis, -jnp.inf), axis=1)
+
+    # per-pair hoisted reference moments (full support — the clamped-
+    # texture convention of the CUDA patch reads, Patch.cuh
+    # compNCCby3DptsYK); per plane only the warp-side moments remain,
+    # fused into ONE stacked convolution (5 blurs in one conv call
+    # instead of 6 separate ones — the ZNCC was the measured majority of
+    # the whole sweep at 256 planes)
+    from ..image.filtering import gaussian_blur
+
+    blur = lambda x: gaussian_blur(x, params.sigma_window)  # noqa: E731
+    mr = blur(ref_rect)
+    rr = jnp.maximum(blur(ref_rect * ref_rect) - mr * mr, 0.0)
 
     def per_chunk(idx):  # (C,) plane indices -> (C, H, W) similarity
         def one(i):
             warped = _shift_scale_rows(t_f, a[i], b[i], W)
-            wmask = _shift_scale_rows(m_f, a[i], b[i], W)
-            # analytic in-bounds test of the source coordinate
-            u_src = a[i] * jnp.arange(W, dtype=jnp.float32)[None, :] + b[i][:, None]
-            inb = (u_src >= 0.0) & (u_src <= W - 1.0)
-            valid = (wmask > 0.5) & inb & ref_ok
+            u_src = a[i] * u_axis + b[i][:, None]
+            valid = (
+                (u_src >= lo_v[:, None])
+                & (u_src <= hi_v[:, None] - 1.0)
+                & (u_src >= 0.0)
+                & (u_src <= W - 1.0)
+                & ref_ok
+            )
             return jnp.where(valid, warped, 0.0), valid
 
         warps, valids = jax.vmap(one)(idx)
-        refb = jnp.broadcast_to(ref_rect, warps.shape)
-        return zncc(refb, warps, valids, params.sigma_window)
+        w = valids.astype(warps.dtype)
+        stack = jnp.stack(
+            [w, warps, warps * warps, ref_rect[None] * warps,
+             ref_rect[None] * w]
+        )  # (5, C, H, W) — warps are already zeroed outside validity
+        bl = blur(stack)
+        wsum = bl[0].clip(1e-4)
+        mt = bl[1] / wsum
+        tt = bl[2] / wsum - mt * mt
+        mr_w = bl[4] / wsum  # validity-masked ref mean for the cross term
+        rt = bl[3] / wsum - mr_w * mt
+        den = jnp.sqrt(jnp.maximum(rr[None] * tt, 1e-6))
+        ncc = jnp.clip(rt / den, -1.0, 1.0)
+        return jnp.where(bl[0] > 0.5, ncc, -1.0)
 
     D = depths.shape[0]
     ch = max(1, min(getattr(params, "rect_depth_chunk", 64), D))
