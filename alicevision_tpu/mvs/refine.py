@@ -366,18 +366,23 @@ def _pair_refine_scores_rectified(
     mr = blur(ref_rect)
     rr = jnp.maximum(blur(ref_rect * ref_rect) - mr * mr, 0.0)
 
-    def zncc_k(warp, v):
-        w = v.astype(jnp.float32)
-        wsum = blur(w).clip(1e-4)
-        mt = blur(warp * w) / wsum
-        tt = blur(warp * warp * w) / wsum - mt * mt
-        mr_w = blur(ref_rect * w) / wsum
-        rt = blur(ref_rect * warp * w) / wsum - mr_w * mt
-        den = jnp.sqrt(jnp.maximum(rr * tt, _EPS))
-        ncc = jnp.clip(rt / den, -1.0, 1.0)
-        return jnp.where(blur(w) > 0.5, ncc, -1.0)
-
-    sims_rect = jax.vmap(zncc_k)(warps, valid)  # (n_off, H, W)
+    # all per-offset moment blurs in ONE stacked convolution (the same
+    # fusion as the SGM sweep's ZNCC — separate conv calls per moment
+    # measured ~2x slower)
+    w = valid.astype(jnp.float32)
+    wz = warps * w
+    stack = jnp.stack(
+        [w, wz, wz * warps, ref_rect[None] * wz, ref_rect[None] * w]
+    )  # (5, n_off, H, W)
+    bl = blur(stack)
+    wsum = bl[0].clip(1e-4)
+    mt = bl[1] / wsum
+    tt = bl[2] / wsum - mt * mt
+    mr_w = bl[4] / wsum
+    rt = bl[3] / wsum - mr_w * mt
+    den = jnp.sqrt(jnp.maximum(rr[None] * tt, _EPS))
+    ncc = jnp.clip(rt / den, -1.0, 1.0)
+    sims_rect = jnp.where(bl[0] > 0.5, ncc, -1.0)  # (n_off, H, W)
     return _unrectify_volume(sims_rect, H_ref, (H, W), fill=-1.0)
 
 
