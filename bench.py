@@ -22,6 +22,12 @@ only the chip differs). Both are reported separately in `extra`.
   * e2e_10img_wall_s                  — 10-image incremental SfM pipeline
     (cameraInit -> SIFT -> exhaustive match -> incremental SfM) on CPU jax
     per BASELINE config 1; steady-state (2nd in-process run)
+  * e2e_6img_wall_s_tpu (+ stage walls) — the same pipeline on the real
+    chip path; dispatch-bound on the relay (DESIGN.md 6d)
+  * hard_scene_ate_rel / rms_px       — the rendered GT benchmark (40
+    occluded views, unknown radial distortion, noise, outlier matches)
+  * ba_comms_table                    — collective bytes vs local FLOPs of
+    the compiled sharded BA at 1/2/4/8 shards (scaling proxy)
   * cpu_lm_iters_per_s_measured       — the measured baseline denominator
 """
 
