@@ -95,6 +95,27 @@ def test_mvs_stages(dataset, work):
     assert os.path.exists(cloud)
 
 
+def test_depth_stage_with_refine(dataset, work):
+    """depth_map_estimation --refine drives the rectified-refine auto path
+    (refine_plan + refine_depth_map_auto + color opt) at stage level."""
+    sfm_out = os.path.join(work, "sfm.sfm")
+    dense = os.path.join(work, "dense")
+    if not (os.path.exists(sfm_out) and os.path.isdir(dense)):
+        pytest.skip("sfm/dense stages did not run")
+    depth_r = os.path.join(work, "depth_refined")
+    stages.depth_map_estimation(
+        sfm_out, dense, depth_r, n_depths=48, downscale=2,
+        range_start=0, range_size=1, refine=True, color_opt_iters=5,
+    )
+    dfiles = [f for f in os.listdir(depth_r) if f.endswith("_depth.npy")]
+    assert len(dfiles) == 1
+    d = np.load(os.path.join(depth_r, dfiles[0]))
+    assert (d > 0).mean() > 0.4
+    # refined depths stay inside the seeded hypothesis range (sanity)
+    pos = d[d > 0]
+    assert pos.min() > 0.05 and pos.max() < 1e3
+
+
 def test_colored_point_cloud_export(dataset, work, tmp_path):
     """exportColoredPointCloud samples real observation pixels
     (colorizeTracks semantics) — landmarks must NOT be the all-white
