@@ -50,6 +50,7 @@ class IncrementalConfig:
     resection_max_error_px: float = 1e6
     n_ransac_hyps: int = 256
     group_add: int = 30  # BA group size after warmup (hpp:60)
+    ba_max_outliers: int = 50  # re-BA while outliers >= this (hpp:96)
     max_track_obs: int = 16  # K bucket for triangulation/BA tables
     ba_max_iters: int = 20
     min_track_inliers_resection: int = 12
@@ -673,7 +674,11 @@ class IncrementalSfM:
             self.bundle_adjust(new_views=new_views)
             for _ in range(5):
                 n_bad = self.remove_outliers()
-                if n_bad == 0:
+                # the reference re-runs BA only while the outlier count
+                # stays ABOVE bundleAdjustmentMaxOutliers (hpp:96, default
+                # 50) — a handful of stragglers waits for the next group's
+                # BA instead of buying another full solve
+                if n_bad < self.cfg.ba_max_outliers:
                     break
                 self.triangulate_tracks(self._last_outlier_tracks)
                 self.bundle_adjust(new_views=new_views)
