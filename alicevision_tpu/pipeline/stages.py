@@ -125,9 +125,25 @@ def feature_extraction(
     # "dspsift" selects domain-size-pooled descriptors (the reference's
     # default describer, ImageDescriber_DSPSIFT_vlfeat.hpp)
     dsp = dsp or ("dspsift" in types)
-    cfg = sift.SiftConfig(max_keypoints=max_keypoints, dsp=dsp, n_octaves=4)
-    extract = jax.jit(lambda im: sift.extract(im, cfg))
 
+    def extract_one(im):
+        if "sift" in types or "dspsift" in types:
+            cfg = sift.SiftConfig(max_keypoints=max_keypoints, dsp=dsp, n_octaves=4)
+            return sift.extract(im, cfg)
+        if "akaze" in types or "akaze_mldb" in types:
+            from ..features import akaze
+
+            acfg = akaze.AkazeConfig(
+                max_keypoints=max_keypoints,
+                descriptor="mldb" if "akaze_mldb" in types else "msurf",
+            )
+            return akaze.extract(im, acfg)
+        return None
+
+    extract_batch = jax.jit(jax.vmap(extract_one))
+
+    # load pending views, record per-view rescale factors
+    pending, imgs, scales = [], {}, {}
     for v in range(range_start, end):
         out = os.path.join(output_folder, f"{int(sc.view_ids[v])}.feat.npz")
         if os.path.exists(out):
@@ -141,32 +157,50 @@ def feature_extraction(
             img = cv2.resize(
                 img, (int(img.shape[1] * scale), int(img.shape[0] * scale))
             )
-        feats = None
-        if "sift" in types or "dspsift" in types:
-            feats = extract(jnp.asarray(img, jnp.float32))
-        elif "akaze" in types or "akaze_mldb" in types:
-            from ..features import akaze
+        pending.append(v)
+        imgs[v] = img.astype(np.float32)
+        scales[v] = scale
 
-            acfg = akaze.AkazeConfig(
-                max_keypoints=max_keypoints,
-                descriptor="mldb" if "akaze_mldb" in types else "msurf",
-            )
-            feats = akaze.extract(jnp.asarray(img, jnp.float32), acfg)
-        if feats is not None:
-            np.savez_compressed(
-                out,
-                xy=np.asarray(feats.xy) / scale,
-                scale=np.asarray(feats.scale) / scale,
-                orientation=np.asarray(feats.orientation),
-                response=np.asarray(feats.response),
-                desc=np.asarray(feats.desc, np.float32),
-                valid=np.asarray(feats.valid),
-            )
+    # describer pass, batched per image shape: one vmapped dispatch per
+    # chunk instead of one per image (the per-call relay round trip was a
+    # large share of this stage's wall; the reference's analog is the
+    # memory-aware OpenMP job batch, featureEngine/FeatureExtractor.cpp
+    # :100-152)
+    if ("sift" in types or "dspsift" in types
+            or "akaze" in types or "akaze_mldb" in types):
+        by_shape: dict = {}
+        for v in pending:
+            by_shape.setdefault(imgs[v].shape, []).append(v)
+        for shape, vs in by_shape.items():
+            for s in range(0, len(vs), 8):
+                chunk = vs[s : s + 8]
+                B = 1 << int(np.ceil(np.log2(len(chunk))))
+                stack = np.stack(
+                    [imgs[v] for v in chunk]
+                    + [imgs[chunk[0]]] * (B - len(chunk))
+                )
+                feats = extract_batch(jnp.asarray(stack))
+                feats_np = jax.tree_util.tree_map(np.asarray, feats)
+                for g, v in enumerate(chunk):
+                    np.savez_compressed(
+                        os.path.join(
+                            output_folder, f"{int(sc.view_ids[v])}.feat.npz"
+                        ),
+                        xy=feats_np.xy[g] / scales[v],
+                        scale=feats_np.scale[g] / scales[v],
+                        orientation=feats_np.orientation[g],
+                        response=feats_np.response[g],
+                        desc=feats_np.desc[g].astype(np.float32),
+                        valid=feats_np.valid[g],
+                    )
+
+    for v in pending:
         for mtype in ("tag16h5", "cctag3"):
             if mtype not in types:
                 continue
             from ..features import markers as mk
 
+            img = imgs[v]
             dets = (
                 mk.detect_apriltags(img)
                 if mtype == "tag16h5"
@@ -177,8 +211,8 @@ def feature_extraction(
                 os.path.join(
                     output_folder, f"{int(sc.view_ids[v])}.{mtype}.npz"
                 ),
-                xy=xy / scale,
-                scale=mscale / scale,
+                xy=xy / scales[v],
+                scale=mscale / scales[v],
                 orientation=ori,
                 desc=desc,
                 ids=np.array([d.marker_id for d in dets], np.int32),
@@ -262,6 +296,32 @@ def load_pairs(path: str) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _match_pairs_batch(desc, valid, ii, jj, ratio):
+    """Top-2 ratio matching for a chunk of view pairs in ONE dispatch:
+    gathers rows of the stacked (V, N, D) descriptor table and vmaps the
+    MXU brute-force matcher."""
+    import jax
+
+    from ..matching import descriptor_matching as dm
+
+    global _MATCH_PAIRS_JIT
+    if _MATCH_PAIRS_JIT is None:
+
+        def impl(desc, valid, ii, jj, ratio):
+            def one(i, j):
+                return dm.match_bruteforce(
+                    desc[i], desc[j], valid[i], valid[j], ratio=ratio
+                ).idx2
+
+            return jax.vmap(one)(ii, jj)
+
+        _MATCH_PAIRS_JIT = jax.jit(impl)
+    return _MATCH_PAIRS_JIT(desc, valid, ii, jj, ratio)
+
+
+_MATCH_PAIRS_JIT = None
+
+
 def feature_matching(
     input_sfm: str,
     features_folder: str,
@@ -283,6 +343,7 @@ def feature_matching(
     sc = sfmdata.load(input_sfm)
     pairs = load_pairs(pairs_file)
     end = len(pairs) if range_size < 0 else min(len(pairs), range_start + range_size)
+    pairs = [(int(pairs[p, 0]), int(pairs[p, 1])) for p in range(range_start, end)]
 
     feats = {}
 
@@ -293,20 +354,53 @@ def feature_matching(
 
     key = jax.random.PRNGKey(0)
     out: dict[str, np.ndarray] = {}
-    for p in range(range_start, end):
-        i, j = int(pairs[p, 0]), int(pairs[p, 1])
-        fi, fj = get(i), get(j)
-        m = dm.match_bruteforce(
-            jnp.asarray(fi["desc"]),
-            jnp.asarray(fj["desc"]),
-            jnp.asarray(fi["valid"]),
-            jnp.asarray(fj["valid"]),
-            ratio=ratio,
-        )
-        pm = dm.matches_to_pairs(m)
+
+    # --- photometric pass, batched 8 pairs per dispatch -----------------
+    # Descriptor tables are fixed-capacity per view, so a whole chunk of
+    # pairs is one vmapped top-2 matmul (the reference's per-pair OpenMP
+    # loop, ImageCollectionMatcher_generic.cpp, becomes a batch axis).
+    need = sorted({v for p in pairs for v in p})
+    cap_sets: dict = {}
+    for v in need:
+        cap_sets.setdefault(get(v)["desc"].shape, []).append(v)
+    pm_all: dict = {}
+    B = 8
+    if len(cap_sets) == 1 and len(pairs) > 1:
+        desc_d = jnp.asarray(np.stack([get(v)["desc"] for v in need]))
+        valid_d = jnp.asarray(np.stack([get(v)["valid"] for v in need]))
+        row = {v: r for r, v in enumerate(need)}
+        for s in range(0, len(pairs), B):
+            chunk = pairs[s : s + B]
+            ii = np.array([row[p[0]] for p in chunk], np.int32)
+            jj = np.array([row[p[1]] for p in chunk], np.int32)
+            pad = B - len(chunk)
+            ii = np.pad(ii, (0, pad), mode="edge")
+            jj = np.pad(jj, (0, pad), mode="edge")
+            idx2 = np.asarray(
+                _match_pairs_batch(desc_d, valid_d, jnp.asarray(ii),
+                                   jnp.asarray(jj), ratio)
+            )
+            for g, (i, j) in enumerate(chunk):
+                rows = np.nonzero(idx2[g] >= 0)[0]
+                pm_all[(i, j)] = np.stack([rows, idx2[g][rows]], axis=-1)
+    else:  # mixed feature capacities: per-pair fallback
+        for i, j in pairs:
+            fi, fj = get(i), get(j)
+            m = dm.match_bruteforce(
+                jnp.asarray(fi["desc"]), jnp.asarray(fj["desc"]),
+                jnp.asarray(fi["valid"]), jnp.asarray(fj["valid"]),
+                ratio=ratio,
+            )
+            pm_all[(i, j)] = dm.matches_to_pairs(m)
+
+    # --- geometric pass, bucketed by (match capacity, image size) -------
+    todo_geo: dict = {}
+    for i, j in pairs:
+        pm = pm_all[(i, j)]
         if len(pm) < 8 or geometric == "none":
             out[f"{i}_{j}"] = pm
             continue
+        fi, fj = get(i), get(j)
         if geometric == "homography_growing":
             # multi-plane HGrowing filter (ref: matchingImageCollection/
             # GeometricFilterMatrix_HGrowing.cpp:107-190)
@@ -326,23 +420,33 @@ def feature_matching(
         # and an unpadded call would RECOMPILE the AC-RANSAC program for
         # every distinct length (measured as the bulk of this stage's wall
         # on the relay-attached chip path)
-        n = len(pm)
-        cap = 1 << int(np.ceil(np.log2(max(n, 32))))
-        x1 = np.zeros((cap, 2), np.float32)
-        x2 = np.zeros((cap, 2), np.float32)
-        x1[:n] = fi["xy"][pm[:, 0]]
-        x2[:n] = fj["xy"][pm[:, 1]]
-        vmask = np.zeros(cap, bool)
-        vmask[:n] = True
+        cap = 1 << int(np.ceil(np.log2(max(len(pm), 32))))
         w, h = float(sc.view_sizes[i, 0]), float(sc.view_sizes[i, 1])
-        key, k1 = jax.random.split(key)
-        rm = robust.robust_fundamental(
-            k1, jnp.asarray(x1), jnp.asarray(x2), im_size=(w, h),
-            valid=jnp.asarray(vmask),
-            n_hyps=n_ransac_hyps, max_error_px=max_error_px,
-        )
-        inl = np.asarray(rm.inliers)[:n]
-        out[f"{i}_{j}"] = pm[inl]
+        todo_geo.setdefault((cap, w, h), []).append((i, j, pm))
+
+    for (cap, w, h), items in todo_geo.items():
+        for s in range(0, len(items), B):
+            chunk = items[s : s + B]
+            Bc = len(chunk)
+            x1 = np.zeros((B, cap, 2), np.float32)
+            x2 = np.zeros((B, cap, 2), np.float32)
+            vmask = np.zeros((B, cap), bool)
+            for g, (i, j, pm) in enumerate(chunk):
+                n = len(pm)
+                fi, fj = get(i), get(j)
+                x1[g, :n] = fi["xy"][pm[:, 0]]
+                x2[g, :n] = fj["xy"][pm[:, 1]]
+                vmask[g, :n] = True
+            key, k1 = jax.random.split(key)
+            rm = robust.robust_fundamental_batch(
+                jax.random.split(k1, B),
+                jnp.asarray(x1), jnp.asarray(x2), (w, h),
+                jnp.asarray(vmask),
+                n_hyps=n_ransac_hyps, max_error_px=max_error_px,
+            )
+            inl_b = np.asarray(rm.inliers)
+            for g, (i, j, pm) in enumerate(chunk[:Bc]):
+                out[f"{i}_{j}"] = pm[inl_b[g, : len(pm)]]
     np.savez_compressed(output_matches, **out)
 
 

@@ -11,6 +11,7 @@ refit on inliers. Fully jittable at static (padded) correspondence counts.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -25,6 +26,19 @@ from .ransac import (
     logalpha0_point,
     sample_minimal,
 )
+
+
+def _logalpha0_line_t(w, h):
+    """logalpha0 for point-to-line models, traced-arg safe (w/h may be
+    jnp scalars, e.g. an image size divided by a refined focal that must
+    not bake into the jit cache key)."""
+    area = w * h
+    diam = jnp.sqrt(w * w + h * h)
+    return jnp.log10(2.0 * diam / area)
+
+
+def _logalpha0_point_t(w, h):
+    return jnp.log10(jnp.pi / (w * h))
 
 
 class RobustModel(NamedTuple):
@@ -111,7 +125,7 @@ def robust_essential(
     sel = acransac_select(
         res,
         sample_size=sample_size,
-        logalpha0=logalpha0_line(w / focal_mean, h / focal_mean),
+        logalpha0=_logalpha0_line_t(w / focal_mean, h / focal_mean),
         mult_error=0.5,
         valid=valid,
         max_threshold_sq=(max_error_px / focal_mean) ** 2,
@@ -208,7 +222,7 @@ def robust_resection_p3p(
     sel = acransac_select(
         res,
         sample_size=3,
-        logalpha0=logalpha0_point(w / focal_mean, h / focal_mean),
+        logalpha0=_logalpha0_point_t(w / focal_mean, h / focal_mean),
         mult_error=1.0,
         valid=valid,
         max_threshold_sq=(max_error_px / focal_mean) ** 2,
@@ -253,3 +267,86 @@ def robust_relative_pose(
     R4, t4 = mv.decompose_essential(rm.model)
     R, t, _ = mv.select_cheirality(R4, t4, x1n, x2n, mask=rm.inliers)
     return R, t, rm
+
+
+# ---------------------------------------------------------------------------
+# Batched (single-dispatch) wrappers.
+#
+# The eager estimators above cost dozens of dispatches per call; on a
+# relay-attached TPU each dispatch is a host round trip (~25 ms measured),
+# which made per-pair/per-view robust estimation the e2e wall (DESIGN.md
+# §6d). These wrappers jit + vmap a whole bucket of same-capacity problems
+# into ONE XLA dispatch — the TPU analog of the reference's OpenMP loop
+# over pairs (matchingImageCollection/GeometricFilter.hpp:60-75) and its
+# group resection (ReconstructionEngine_sequentialSfM.cpp:407-520).
+# focal_mean stays a traced scalar so intrinsics refinement never recompiles.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("im_size", "n_hyps", "max_error_px"))
+def robust_fundamental_batch(
+    keys, x1, x2, im_size, valid, n_hyps: int = 256, max_error_px: float = 4.0
+) -> RobustModel:
+    """AC-RANSAC F for a (B, N, 2) bucket of pairs — one dispatch."""
+    return jax.vmap(
+        lambda k, a, b, v: robust_fundamental(
+            k, a, b, im_size, v, n_hyps, max_error_px
+        )
+    )(keys, x1, x2, valid)
+
+
+@partial(
+    jax.jit, static_argnames=("im_size", "n_hyps", "max_error_px", "refine_iters")
+)
+def robust_resection_p3p_batch(
+    keys,
+    world,
+    obs_norm,
+    focal_mean,
+    im_size,
+    valid,
+    n_hyps: int = 128,
+    max_error_px: float = 4.0,
+    refine_iters: int = 8,
+) -> RobustPose:
+    """Batched robust resection: (B, N, 3) worlds, (B, N, 2) normalized
+    observations, shared focal — ONE dispatch for a whole resection group."""
+    return jax.vmap(
+        lambda k, w, o, v: robust_resection_p3p(
+            k, w, o, focal_mean, im_size, v, n_hyps, max_error_px, refine_iters
+        )
+    )(keys, world, obs_norm, valid)
+
+
+class RelativePoseBatch(NamedTuple):
+    R: jnp.ndarray  # (B, 3, 3)
+    t: jnp.ndarray  # (B, 3)
+    inliers: jnp.ndarray  # (B, N)
+    n_inliers: jnp.ndarray  # (B,)
+
+
+@partial(
+    jax.jit, static_argnames=("im_size", "n_hyps", "max_error_px", "solver")
+)
+def robust_relative_pose_batch(
+    keys,
+    x1n,
+    x2n,
+    focal_mean,
+    im_size,
+    valid,
+    n_hyps: int = 256,
+    max_error_px: float = 4.0,
+    solver: str = "5pt",
+) -> RelativePoseBatch:
+    """Batched initial-pair relative pose — one dispatch for all candidate
+    pairs of the SfM initialization (makeInitialPair3D candidates)."""
+
+    def one(k, a, b, v):
+        R, t, rm = robust_relative_pose(
+            k, a, b, focal_mean, im_size, v, n_hyps, max_error_px, solver
+        )
+        return R, t, rm.inliers, rm.n_inliers
+
+    R, t, inl, n_inl = jax.vmap(one)(keys, x1n, x2n, valid)
+    return RelativePoseBatch(R, t, inl, n_inl)

@@ -231,55 +231,77 @@ class IncrementalSfM:
         common, ii, jj = np.intersect1d(ti, tj, return_indices=True)
         return common, oi[ii], oj[jj]
 
-    def _evaluate_initial_pair(self, vi: int, vj: int):
-        """Robust relative pose + baseline/coverage score for one candidate
-        pair. Returns (score, commit_payload) or None if the pair fails the
-        hard gates (ref: pair scoring at .cpp:1414-1424 — score =
-        angle_score * min(coverage_i, coverage_j), negative outside the
-        reasonable-angle window)."""
-        cfg = self.cfg
-        common, oi, oj = self._pair_obs(vi, vj)
-        if len(common) < cfg.min_pts_init:
-            return None
-        x1 = jnp.asarray(self.obs_norm[oi])
-        x2 = jnp.asarray(self.obs_norm[oj])
-        R, t, rm = robust.robust_relative_pose(
-            self._next_key(), x1, x2, self._focal_mean, self._im_wh,
-            n_hyps=cfg.n_ransac_hyps, max_error_px=cfg.resection_max_error_px,
-        )
-        inl = np.asarray(rm.inliers)
-        if inl.sum() < cfg.min_pts_init:
-            return None
+    def _evaluate_initial_pairs(self, cand_pairs):
+        """Robust relative pose + baseline/coverage score for a LIST of
+        candidate pairs in ONE padded batched dispatch (ref: pair scoring
+        at .cpp:1414-1424 — score = angle_score * min(coverage_i,
+        coverage_j), negative outside the reasonable-angle window).
 
-        # Triangulate inliers, check median angle (baseline gate).
-        P1 = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
-        P2 = np.concatenate([np.asarray(R), np.asarray(t)[:, None]], axis=1)
-        X = np.asarray(
-            mv.triangulate_dlt(jnp.asarray(P1)[None], jnp.asarray(P2)[None], x1, x2)
+        Returns list of (score, commit_payload), best-first commit data for
+        every pair that passes the hard gates."""
+        cfg = self.cfg
+        pair_data = []  # (vi, vj, common, oi, oj)
+        for vi, vj in cand_pairs:
+            common, oi, oj = self._pair_obs(vi, vj)
+            if len(common) >= cfg.min_pts_init:
+                pair_data.append((vi, vj, common, oi, oj))
+        if not pair_data:
+            return []
+        # Shared capacity across candidates; B padded to the configured
+        # candidate count so repeated runs hit one compile.
+        B = max(len(pair_data), self.cfg.init_pair_candidates)
+        cap = 1 << int(
+            np.ceil(np.log2(max(max(len(d[2]) for d in pair_data), 64)))
         )
-        c2 = -np.asarray(R).T @ np.asarray(t)
-        d1 = X
-        d2 = X - c2
-        cosang = np.sum(d1 * d2, -1) / (
-            np.linalg.norm(d1, axis=-1) * np.linalg.norm(d2, axis=-1) + 1e-12
+        x1 = np.zeros((B, cap, 2), np.float32)
+        x2 = np.zeros((B, cap, 2), np.float32)
+        valid = np.zeros((B, cap), bool)
+        for g, (vi, vj, common, oi, oj) in enumerate(pair_data):
+            n = len(common)
+            x1[g, :n] = self.obs_norm[oi]
+            x2[g, :n] = self.obs_norm[oj]
+            valid[g, :n] = True
+        keys = jax.random.split(self._next_key(), B)
+        R_b, c2_b, X_b, good_b, med_b, ngood_b = _init_pair_eval_batch(
+            keys,
+            jnp.asarray(x1),
+            jnp.asarray(x2),
+            jnp.asarray(valid),
+            jnp.float32(self._focal_mean),
+            self._im_wh,
+            cfg.n_ransac_hyps,
+            cfg.resection_max_error_px,
         )
-        ang = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
-        good = inl & (X[:, 2] > 0) & (ang > 0.5)
-        if good.sum() < cfg.min_pts_init:
-            return None
-        med_ang = float(np.median(ang[good]))
-        if med_ang < cfg.min_angle_init_deg:
-            return None
-        coverage = min(
-            self._pair_coverage_score(vi, oi[good]),
-            self._pair_coverage_score(vj, oj[good]),
+        R_b, c2_b, X_b, good_b, med_b, ngood_b = (
+            np.asarray(R_b), np.asarray(c2_b), np.asarray(X_b),
+            np.asarray(good_b), np.asarray(med_b), np.asarray(ngood_b),
         )
-        # reasonable-angle window: reward mid-range baselines, keep ordering
-        # for extreme ones (ref uses [min_angle; 40 deg] then negates).
-        angle_score = med_ang if med_ang <= 40.0 else max(80.0 - med_ang, 1.0)
-        score = angle_score * coverage
-        payload = (vi, vj, np.asarray(R), c2, common[good], X[good])
-        return score, payload
+        out = []
+        for g, (vi, vj, common, oi, oj) in enumerate(pair_data):
+            n = len(common)
+            good = good_b[g, :n]
+            if int(ngood_b[g]) < cfg.min_pts_init:
+                continue
+            med_ang = float(med_b[g])
+            if not np.isfinite(med_ang) or med_ang < cfg.min_angle_init_deg:
+                continue
+            coverage = min(
+                self._pair_coverage_score(vi, oi[good]),
+                self._pair_coverage_score(vj, oj[good]),
+            )
+            # reasonable-angle window: reward mid-range baselines, keep
+            # ordering for extreme ones (ref uses [min_angle; 40 deg]).
+            angle_score = med_ang if med_ang <= 40.0 else max(80.0 - med_ang, 1.0)
+            score = angle_score * coverage
+            payload = (
+                vi, vj, R_b[g], c2_b[g], common[good], X_b[g, :n][good]
+            )
+            out.append((score, payload))
+        return out
+
+    def _evaluate_initial_pair(self, vi: int, vj: int):
+        evs = self._evaluate_initial_pairs([(vi, vj)])
+        return evs[0] if evs else None
 
     def _commit_initial_pair(self, vi, vj, R, c2, track_ids, X):
         self.res.pose_R[vi] = np.eye(3)
@@ -300,14 +322,14 @@ class IncrementalSfM:
 
     def initialize(self) -> bool:
         """Rank the top candidate pairs by angle x coverage and commit the
-        best, rather than the first that passes the gates."""
-        best = None
-        for vi, vj in self.candidate_pairs(top=self.cfg.init_pair_candidates):
-            ev = self._evaluate_initial_pair(vi, vj)
-            if ev is not None and (best is None or ev[0] > best[0]):
-                best = ev
-        if best is None:
+        best, rather than the first that passes the gates. All candidates
+        are evaluated in one batched dispatch."""
+        evs = self._evaluate_initial_pairs(
+            self.candidate_pairs(top=self.cfg.init_pair_candidates)
+        )
+        if not evs:
             return False
+        best = max(evs, key=lambda ev: ev[0])
         self._commit_initial_pair(*best[1])
         return True
 
@@ -351,41 +373,74 @@ class IncrementalSfM:
             self.obs_view[usable], minlength=self.n_views
         ).astype(np.int64)
 
-    def resect_view(self, v: int) -> bool:
+    def resect_views(self, views) -> list:
+        """Robust-P3P resect a GROUP of views in one padded batched
+        dispatch (the reference resects its findNextBestViews group in an
+        OpenMP loop, ReconstructionEngine_sequentialSfM.cpp:407-520; here
+        the whole group is one vmapped AC-RANSAC + GN program — one relay
+        round trip instead of one per view). Returns the successfully
+        posed views."""
         cfg = self.cfg
-        obs_idx = self.view_obs[v]
-        tr = self.obs_track[obs_idx]
-        usable = self.res.point_valid[tr]
-        if usable.sum() < cfg.min_track_inliers_resection:
-            return False
-        world = self.res.points[tr[usable]]
-        obs_n = self.obs_norm[obs_idx[usable]]
-        # pad to power-of-two-ish bucket to limit recompiles
-        n = len(world)
-        cap = 1 << int(np.ceil(np.log2(max(n, 32))))
-        pad = cap - n
-        world_p = np.pad(world, ((0, pad), (0, 0)))
-        obs_p = np.pad(obs_n, ((0, pad), (0, 0)))
-        valid = np.zeros(cap, bool)
-        valid[:n] = True
-        rp = robust.robust_resection_p3p(
-            self._next_key(),
-            jnp.asarray(world_p, jnp.float32),
-            jnp.asarray(obs_p, jnp.float32),
-            self._focal_mean,
-            self._im_wh,
-            valid=jnp.asarray(valid),
-            n_hyps=cfg.n_ransac_hyps,
-            max_error_px=cfg.resection_max_error_px,
-        )
-        if int(rp.n_inliers) < cfg.min_track_inliers_resection:
-            return False
-        R = np.asarray(rp.R)
-        self.res.pose_R[v] = R
-        self.res.pose_c[v] = -R.T @ np.asarray(rp.t)
-        self.res.posed[v] = True
-        self.res.history.append(("resect", v, int(rp.n_inliers)))
-        return True
+        cand = []
+        for v in views:
+            obs_idx = self.view_obs[int(v)]
+            tr = self.obs_track[obs_idx]
+            usable = self.res.point_valid[tr]
+            if usable.sum() >= cfg.min_track_inliers_resection:
+                cand.append(
+                    (
+                        int(v),
+                        self.res.points[tr[usable]],
+                        self.obs_norm[obs_idx[usable]],
+                    )
+                )
+        if not cand:
+            return []
+        # power-of-two buckets on both axes to limit recompiles; chunk the
+        # batch so the (B, n_hyps*4, cap) residual tensor stays small
+        posed = []
+        CHUNK = 8
+        for s in range(0, len(cand), CHUNK):
+            chunk = cand[s : s + CHUNK]
+            B = 1 << int(np.ceil(np.log2(len(chunk))))
+            cap = 1 << int(
+                np.ceil(np.log2(max(max(len(c[1]) for c in chunk), 32)))
+            )
+            world = np.zeros((B, cap, 3), np.float32)
+            obs = np.zeros((B, cap, 2), np.float32)
+            valid = np.zeros((B, cap), bool)
+            for g, (v, w, o) in enumerate(chunk):
+                n = len(w)
+                world[g, :n] = w
+                obs[g, :n] = o
+                valid[g, :n] = True
+            keys = jax.random.split(self._next_key(), B)
+            rp = robust.robust_resection_p3p_batch(
+                keys,
+                jnp.asarray(world),
+                jnp.asarray(obs),
+                jnp.float32(self._focal_mean),
+                self._im_wh,
+                jnp.asarray(valid),
+                n_hyps=cfg.n_ransac_hyps,
+                max_error_px=cfg.resection_max_error_px,
+            )
+            R_b, t_b, ninl_b = (
+                np.asarray(rp.R), np.asarray(rp.t), np.asarray(rp.n_inliers)
+            )
+            for g, (v, _, _) in enumerate(chunk):
+                if int(ninl_b[g]) < cfg.min_track_inliers_resection:
+                    continue
+                R = R_b[g]
+                self.res.pose_R[v] = R
+                self.res.pose_c[v] = -R.T @ t_b[g]
+                self.res.posed[v] = True
+                self.res.history.append(("resect", v, int(ninl_b[g])))
+                posed.append(v)
+        return posed
+
+    def resect_view(self, v: int) -> bool:
+        return bool(self.resect_views([v]))
 
     # ------------------------------------------------------------------
     # Triangulation of all tracks observable from posed views
@@ -649,13 +704,8 @@ class IncrementalSfM:
             group_cap = 1 if n_posed < 4 else self.cfg.group_add
             cands = np.argsort(-scores)
             group = [v for v in cands if scores[v] >= 0.75 * best][:group_cap]
-            added = 0
-            new_views = []
-            for v in group:
-                if self.resect_view(int(v)):
-                    added += 1
-                    new_views.append(int(v))
-            if added == 0:
+            new_views = self.resect_views(group)
+            if not new_views:
                 break
             # incremental: only tracks seeing the new views can change
             new_obs = np.concatenate([self.view_obs[v] for v in new_views])
@@ -736,6 +786,38 @@ class IncrementalSfM:
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("im_size", "n_hyps", "max_error_px"))
+def _init_pair_eval_batch(keys, x1, x2, valid, focal_mean, im_size, n_hyps,
+                          max_error_px):
+    """One dispatch for all initial-pair candidates: robust relative pose,
+    two-view triangulation, cheirality/angle gating and the masked median
+    triangulation angle per pair (makeInitialPair3D evaluation,
+    ReconstructionEngine_sequentialSfM.cpp:1414-1424)."""
+
+    def one(k, a, b, v):
+        R, t, rm = robust.robust_relative_pose(
+            k, a, b, focal_mean, im_size, valid=v,
+            n_hyps=n_hyps, max_error_px=max_error_px,
+        )
+        P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+        P2 = jnp.concatenate([R, t[:, None]], axis=1)
+        X = mv.triangulate_dlt(P1[None], P2[None], a, b)
+        c2 = -R.T @ t
+        d1 = X
+        d2 = X - c2
+        cosang = jnp.sum(d1 * d2, -1) / (
+            jnp.linalg.norm(d1, axis=-1) * jnp.linalg.norm(d2, axis=-1) + 1e-12
+        )
+        ang = jnp.degrees(jnp.arccos(jnp.clip(cosang, -1.0, 1.0)))
+        good = rm.inliers & (X[:, 2] > 0) & (ang > 0.5) & v
+        n_good = jnp.sum(good)
+        ang_sorted = jnp.sort(jnp.where(good, ang, jnp.inf))
+        med = ang_sorted[jnp.clip((n_good - 1) // 2, 0, ang.shape[0] - 1)]
+        return R, c2, X, good, med, n_good
+
+    return jax.vmap(one)(keys, x1, x2, valid)
+
+
 @jax.jit
 def _triangulate_gated(Pb, uv, mask, centers, max_err_norm, min_angle_rad):
     """Masked N-view DLT + reprojection/angle/depth gates.
@@ -794,10 +876,22 @@ def _triangulate_gated_robust(Pb, uv, mask, centers, max_err_norm, min_angle_rad
 def _ba_loop_mode() -> str:
     """AV_BA_LOOP=unrolled trades one straight-line compile for the HLO
     While that costs a host round-trip per iteration on relay-attached
-    TPU runtimes (see ba_solve loop='unrolled')."""
+    TPU runtimes (see ba_solve loop='unrolled').
+
+    Default is auto-detected: on a relay-style backend (anything that is
+    not the in-process cpu/gpu/tpu runtime, e.g. the axon tunnel) the
+    unrolled program avoids per-iteration host round trips; on local
+    backends the HLO While compiles faster and runs the same."""
     import os
 
-    return os.environ.get("AV_BA_LOOP", "while")
+    mode = os.environ.get("AV_BA_LOOP")
+    if mode:
+        return mode
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover — backend probing must never fail
+        return "while"
+    return "while" if backend in ("cpu", "gpu", "tpu", "cuda", "rocm") else "unrolled"
 
 
 @partial(jax.jit, static_argnums=(1,))
