@@ -303,7 +303,22 @@ def _pair_refine_scores_rectified(
     inv_map = jnp.where(
         depth_sgm > 0, 1.0 / jnp.maximum(depth_sgm, _EPS), 0.0
     )
-    inv_rect, inv_ok = _warp_homography_nearest(inv_map, H_ref_inv, (H, W))
+    # Bilinear resampling of the base inverse depth, masked to fully-valid
+    # 4-tap neighbourhoods. Nearest-neighbour resampling here puts a
+    # half-pixel-gradient error (~several 1/10-plane steps on real maps)
+    # between the hypotheses the scores were computed at and the base the
+    # selection applies offsets to — measured as a 20% accuracy LOSS of the
+    # sub-sampled fine sweep vs the dense reference grid. Bilinear keeps
+    # evaluation and selection consistent to O(curvature); pixels whose
+    # neighbourhood spans an invalid sample stay invalid (no blending
+    # across depth holes).
+    inv_raw, _ = warp_homography(inv_map, H_ref_inv, (H, W))
+    vmask, _ = warp_homography(
+        (inv_map > 0).astype(jnp.float32), H_ref_inv, (H, W)
+    )
+    inv_rect = jnp.where(
+        vmask > 0.999, inv_raw / jnp.maximum(vmask, 1e-6), 0.0
+    )
 
     fx = K_ref[0, 0]
     fy = K_ref[1, 1]
@@ -319,32 +334,12 @@ def _pair_refine_scores_rectified(
 
     n_off = 2 * n_offsets + 1
     offs = (jnp.arange(n_off, dtype=jnp.float32) - n_offsets) * rel_step
-    scale_k = (1.0 + offs)[:, None, None]  # (n_off, 1, 1)
 
     # padded so iteration s can slice the tcam rows shifted by s for any
     # s in [s_min, s_max]
     pad_l = max(s_max, 0)
     pad_r = max(-s_min, 0)
     padded = jnp.pad(t_rect, ((0, 0), (pad_l, pad_r)))
-
-    def body(acc, s):
-        sl = jax.lax.dynamic_slice_in_dim(
-            padded, pad_l - s, W, axis=1
-        )  # (H, W): value at (v, u) = t_rect[v, u - s]
-        sf = s.astype(jnp.float32)
-        # frac weights recomputed from the (H, W) base disparity — cheaper
-        # than carrying (n_off, H, W) tables through every scan iteration
-        dk = disp0[None] * scale_k
-        dk_i = jnp.floor(dk)
-        w = jnp.where(dk_i == sf, 1.0 - (dk - dk_i), 0.0) + jnp.where(
-            dk_i == sf - 1.0, dk - dk_i, 0.0
-        )  # (n_off, H, W)
-        return acc + w * sl[None], None
-
-    acc0 = jnp.zeros((n_off, H, W), jnp.float32)
-    warps, _ = jax.lax.scan(
-        body, acc0, jnp.arange(s_min, s_max + 1, dtype=jnp.int32)
-    )
 
     # exact warped-validity without a second scan channel: the rectified
     # tcam's valid region is the homography image of a rectangle — a convex
@@ -353,36 +348,70 @@ def _pair_refine_scores_rectified(
     uu = us  # (1, W)
     lo_v = jnp.min(jnp.where(t_okb, uu, jnp.inf), axis=1, keepdims=True)
     hi_v = jnp.max(jnp.where(t_okb, uu, -jnp.inf), axis=1, keepdims=True)
-    disp_k = disp0[None] * scale_k
-    p = uu[None] - disp_k
-    valid = (
-        (p >= lo_v[None])
-        & (p <= hi_v[None] - 1.0)
-        & ref_ok[None]
-        & (inv_rect > 0)[None]
-    )
 
     blur = lambda x: gaussian_blur(x, sigma_window)  # noqa: E731
     mr = blur(ref_rect)
     rr = jnp.maximum(blur(ref_rect * ref_rect) - mr * mr, 0.0)
 
-    # all per-offset moment blurs in ONE stacked convolution (the same
-    # fusion as the SGM sweep's ZNCC — separate conv calls per moment
-    # measured ~2x slower)
-    w = valid.astype(jnp.float32)
-    wz = warps * w
-    stack = jnp.stack(
-        [w, wz, wz * warps, ref_rect[None] * wz, ref_rect[None] * w]
-    )  # (5, n_off, H, W)
-    bl = blur(stack)
-    wsum = bl[0].clip(1e-4)
-    mt = bl[1] / wsum
-    tt = bl[2] / wsum - mt * mt
-    mr_w = bl[4] / wsum
-    rt = bl[3] / wsum - mr_w * mt
-    den = jnp.sqrt(jnp.maximum(rr[None] * tt, _EPS))
-    ncc = jnp.clip(rt / den, -1.0, 1.0)
-    sims_rect = jnp.where(bl[0] > 0.5, ncc, -1.0)  # (n_off, H, W)
+    def chunk_scores(offs_c):
+        """Scores for one chunk of offsets: masked-shift scan + ZNCC."""
+        scale_k = (1.0 + offs_c)[:, None, None]  # (CH, 1, 1)
+
+        def body(acc, s):
+            sl = jax.lax.dynamic_slice_in_dim(
+                padded, pad_l - s, W, axis=1
+            )  # (H, W): value at (v, u) = t_rect[v, u - s]
+            sf = s.astype(jnp.float32)
+            # frac weights recomputed from the (H, W) base disparity —
+            # cheaper than carrying per-offset tables through the scan
+            dk = disp0[None] * scale_k
+            dk_i = jnp.floor(dk)
+            w = jnp.where(dk_i == sf, 1.0 - (dk - dk_i), 0.0) + jnp.where(
+                dk_i == sf - 1.0, dk - dk_i, 0.0
+            )  # (CH, H, W)
+            return acc + w * sl[None], None
+
+        acc0 = jnp.zeros((offs_c.shape[0], H, W), jnp.float32)
+        warps, _ = jax.lax.scan(
+            body, acc0, jnp.arange(s_min, s_max + 1, dtype=jnp.int32)
+        )
+        disp_k = disp0[None] * scale_k
+        p = uu[None] - disp_k
+        valid = (
+            (p >= lo_v[None])
+            & (p <= hi_v[None] - 1.0)
+            & ref_ok[None]
+            & (inv_rect > 0)[None]
+        )
+        # all per-offset moment blurs in ONE stacked convolution (the same
+        # fusion as the SGM sweep's ZNCC — separate conv calls per moment
+        # measured ~2x slower)
+        w = valid.astype(jnp.float32)
+        wz = warps * w
+        stack = jnp.stack(
+            [w, wz, wz * warps, ref_rect[None] * wz, ref_rect[None] * w]
+        )  # (5, CH, H, W)
+        bl = blur(stack)
+        wsum = bl[0].clip(1e-4)
+        mt = bl[1] / wsum
+        tt = bl[2] / wsum - mt * mt
+        mr_w = bl[4] / wsum
+        rt = bl[3] / wsum - mr_w * mt
+        den = jnp.sqrt(jnp.maximum(rr[None] * tt, _EPS))
+        ncc = jnp.clip(rt / den, -1.0, 1.0)
+        return jnp.where(bl[0] > 0.5, ncc, -1.0)  # (CH, H, W)
+
+    # Offset-chunking bounds HBM: the dense RefineParams grid (301
+    # hypotheses) would otherwise stack (5, 301, H, W) moment planes —
+    # ~3 GB at 544x960 plus warp temps, which EXHAUSTS v5e HBM (measured).
+    # lax.map over <=64-offset chunks keeps peak memory at one chunk while
+    # total scan/ZNCC work is unchanged.
+    CH = min(n_off, 64)
+    n_pad = (-n_off) % CH
+    offs_p = jnp.concatenate([offs, jnp.full((n_pad,), offs[-1])])
+    sims_rect = jax.lax.map(
+        chunk_scores, offs_p.reshape(-1, CH)
+    ).reshape(-1, H, W)[:n_off]
     return _unrectify_volume(sims_rect, H_ref, (H, W), fill=-1.0)
 
 
@@ -470,6 +499,78 @@ def refine_plan(
     return tuple(plan)
 
 
+def _select_offset_quadfit(sims, offsets, inv, rel_step, depth_base):
+    """Whole-sweep weighted quadratic fit instead of 3-point parabola.
+
+    At sub-plane granularity neighbouring hypotheses differ by ~0.01 px of
+    disparity — per-sample ZNCC differences sit at interpolation-noise
+    level, so an argmax over the fine sweep wanders the flat peak
+    (measured: fine argmax+parabola is 25% WORSE than the coarse stage on
+    rendered GT, with either scorer). Fitting one quadratic to ALL fine
+    scores averages that noise and recovers the vertex the dense sweep's
+    envelope defines. Used for the fine stage only; the coarse stage keeps
+    the argmax (its peak is well-resolved at plane steps)."""
+    n_tot = offsets.shape[0]
+    k = offsets  # (n,)
+    # closed-form LS quadratic fit s ~ a k^2 + b k + c with fixed design;
+    # moments of the symmetric grid: S2 = sum k^2, S4 = sum k^4
+    S0 = jnp.float32(n_tot)
+    S2 = jnp.sum(k * k)
+    S4 = jnp.sum(k**4)
+    sk = jnp.einsum("n,nhw->hw", k, sims)
+    sk2 = jnp.einsum("n,nhw->hw", k * k, sims)
+    s0 = jnp.sum(sims, axis=0)
+    det = S4 * S0 - S2 * S2
+    a = (sk2 * S0 - s0 * S2) / det
+    b = sk / S2
+    vertex = jnp.where(a < -1e-8, -b / (2 * jnp.minimum(a, -1e-8)), 0.0)
+    off_star = jnp.clip(vertex, k[0], k[-1])
+    inv_new = inv * (1.0 + off_star * rel_step)
+    depth_new = 1.0 / jnp.maximum(inv_new, _EPS)
+    depth_new = jnp.where(depth_base > 0, depth_new, depth_base)
+    # report the score at the nearest sampled offset
+    idx = jnp.clip(
+        jnp.round(off_star - k[0]).astype(jnp.int32), 0, n_tot - 1
+    )
+    s_at = jnp.take_along_axis(sims, idx[None], axis=0)[0]
+    return depth_new, s_at
+
+
+def _refine_sweep(
+    depth_base, ref_img, t_imgs, K_ref, K_t, R_rel, t_rel,
+    rel_step, n_offsets, sigma_window, plan, select: str = "argmax",
+):
+    """One (2n+1)-hypothesis sweep around `depth_base`: per-pair rectified
+    scan or gather fallback per the host plan, fused scores, best offset."""
+    T = t_imgs.shape[0]
+    sims = []
+    for t in range(T):
+        if plan[t][0] == "rectified":
+            _, s_lo, s_hi = plan[t]
+            sims.append(
+                _pair_refine_scores_rectified(
+                    depth_base, ref_img, t_imgs[t], K_ref, K_t[t],
+                    R_rel[t], t_rel[t], rel_step, n_offsets, s_lo, s_hi,
+                    sigma_window,
+                )
+            )
+        else:
+            sims.append(
+                _pair_refine_scores_gather(
+                    depth_base, ref_img, t_imgs[t], K_ref, K_t[t],
+                    R_rel[t], t_rel[t], rel_step, n_offsets, sigma_window,
+                )
+            )
+    sims = jnp.mean(jnp.stack(sims), axis=0)  # (2n+1, H, W)
+    offsets = (
+        jnp.arange(n_offsets * 2 + 1) - n_offsets
+    ).astype(ref_img.dtype)
+    inv = 1.0 / jnp.maximum(depth_base, _EPS)
+    if select == "quadfit":
+        return _select_offset_quadfit(sims, offsets, inv, rel_step, depth_base)
+    return _select_best_offset(sims, offsets, inv, rel_step, depth_base)
+
+
 def refine_depth_map_auto(
     depth_sgm: jnp.ndarray,  # (H, W) SGM depth (<= 0 invalid)
     ref_img: jnp.ndarray,  # (H, W)
@@ -481,6 +582,7 @@ def refine_depth_map_auto(
     depth_range: tuple[float, float] | None = None,  # (d_min, d_max) host
     rel_step: float = 0.005,
     n_offsets: int = 15,
+    n_subsamples: int = 10,
     sigma_window: float = 1.5,
     method: str = "auto",
     plan: tuple | None = None,
@@ -489,10 +591,21 @@ def refine_depth_map_auto(
     gather-free rectified scan (default) or the bilinear-gather fallback
     for degenerate pairs, fused in the original ref frame.
 
+    `n_subsamples` implements the reference's sub-plane granularity
+    (RefineParams.hpp:23-24 halfNbDepths=15 x nbSubsamples=10: ~301
+    hypotheses at 1/10-plane steps,
+    cuda/planeSweeping/deviceSimilarityVolume.cu:477-494) as a TWO-STAGE
+    sweep: a coarse plane-step pass over +-n_offsets brackets the optimum,
+    then a fine pass at rel_step/n_subsamples granularity over +-1 plane
+    around the stage-1 best evaluates the same grid the reference's dense
+    volume contains near its argmax — 31+21 hypothesis evaluations instead
+    of 301 with identical output granularity (equivalence on rendered GT
+    pinned by tests/test_refine_subsample.py). n_subsamples=1 reproduces
+    the single coarse sweep.
+
     Callers inside jit MUST pass `plan` (from `refine_plan`, computed with
     concrete poses); with plan=None the plan is derived here, which needs
     concrete poses and `depth_range`."""
-    T = t_imgs.shape[0]
     if plan is None:
         if depth_range is None:
             raise ValueError("need depth_range (or a precomputed plan)")
@@ -501,27 +614,28 @@ def refine_depth_map_auto(
             ref_img.shape, rel_step, n_offsets, method,
         )
 
-    sims = []
-    for t in range(T):
-        if plan[t][0] == "rectified":
-            _, s_lo, s_hi = plan[t]
-            sims.append(
-                _pair_refine_scores_rectified(
-                    depth_sgm, ref_img, t_imgs[t], K_ref, K_t[t],
-                    R_rel[t], t_rel[t], rel_step, n_offsets, s_lo, s_hi,
-                    sigma_window,
-                )
-            )
-        else:
-            sims.append(
-                _pair_refine_scores_gather(
-                    depth_sgm, ref_img, t_imgs[t], K_ref, K_t[t],
-                    R_rel[t], t_rel[t], rel_step, n_offsets, sigma_window,
-                )
-            )
-    sims = jnp.mean(jnp.stack(sims), axis=0)  # (2n+1, H, W)
-    offsets = (
-        jnp.arange(n_offsets * 2 + 1) - n_offsets
-    ).astype(ref_img.dtype)
-    inv = 1.0 / jnp.maximum(depth_sgm, _EPS)
-    return _select_best_offset(sims, offsets, inv, rel_step, depth_sgm)
+    depth, sim = _refine_sweep(
+        depth_sgm, ref_img, t_imgs, K_ref, K_t, R_rel, t_rel,
+        rel_step, n_offsets, sigma_window, plan,
+    )
+    if n_subsamples > 1:
+        # fine stage: +-1 coarse plane at 1/n_subsamples granularity around
+        # the bracketed optimum (stage-1 disparities bound stage-2's, so
+        # the same host plan covers both sweeps); whole-sweep quadratic
+        # selection — see _select_offset_quadfit. The stage-1 output is
+        # lightly smoothed in inverse depth first: its per-pixel
+        # argmax/parabola jitter otherwise roughens every fine-stage warp's
+        # ZNCC window (measured +12% median GT error vs a smooth base);
+        # the +-1-plane window comfortably covers the smoothing residual.
+        inv1 = jnp.where(depth > 0, 1.0 / jnp.maximum(depth, _EPS), 0.0)
+        base = jnp.where(
+            depth > 0,
+            1.0 / jnp.maximum(gaussian_blur(inv1, 1.0), _EPS),
+            depth,
+        )
+        depth, sim = _refine_sweep(
+            base, ref_img, t_imgs, K_ref, K_t, R_rel, t_rel,
+            rel_step / n_subsamples, n_subsamples, sigma_window, plan,
+            select="quadfit",
+        )
+    return depth, sim

@@ -65,6 +65,35 @@ def make_sharded_sgm(mesh: Mesh, params: SgmParams = SgmParams()):
     return fn
 
 
+def make_sharded_consistency_filter(mesh: Mesh):
+    """Cross-view depth-map FUSION sharded over chips (BASELINE config 5's
+    "depth fusion with psum collectives").
+
+    Each chip holds its shard of the (V, H, W) depth stack; filtering a
+    view needs its NEIGHBOURS' maps, which live on other chips — so the
+    collective is the whole point: XLA inserts ONE tiled all-gather of the
+    depth stack per call, after which every chip checks its local views
+    against the gathered neighbourhood. Same function as the single-device
+    `consistency_filter` — sharding is layout-only, exactly like the BA
+    (DESIGN.md section 2).
+
+    ref: src/aliceVision/fuseCut/Fuser.hpp:21-34 (cross-view consistency),
+    depthMap/computeOnMultiGPUs.cpp:15-67 (the reference fans out
+    ESTIMATION per GPU but fuses single-process over files — the TPU
+    design replaces the file round trip with the ICI all-gather)."""
+    from .fusion import consistency_filter
+
+    shard = NamedSharding(mesh, P(("view", "landmark")))
+    repl = NamedSharding(mesh, P())
+
+    fn = jax.jit(
+        lambda depths, K, R, c: consistency_filter(depths, K, R, c),
+        in_shardings=(shard, repl, repl, repl),
+        out_shardings=(shard, shard),
+    )
+    return fn
+
+
 # ---------------------------------------------------------------------------
 # Tiling (large images)
 # ---------------------------------------------------------------------------

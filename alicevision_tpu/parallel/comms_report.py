@@ -117,3 +117,66 @@ def ba_comms_table(
             }
         )
     return rows
+
+
+def fusion_comms_table(
+    shard_counts=(1, 2, 4, 8),
+    V: int = 8,
+    hw=(128, 160),
+    ici_gbps: float = 45.0,
+    chip_tflops: float = 0.54,
+) -> list[dict]:
+    """Collective accounting for the SHARDED DEPTH FUSION (config 5's
+    second half): compile `make_sharded_consistency_filter` at several
+    shard counts and report the all-gather bytes the view-sharded
+    (V, H, W) depth stack rides vs per-shard FLOPs."""
+    import jax
+    import numpy as np
+
+    from alicevision_tpu.mvs.sharded import make_sharded_consistency_filter
+    from alicevision_tpu.parallel.mesh import make_mesh
+
+    H, W = hw
+    rng = np.random.RandomState(0)
+    depths = rng.uniform(2.0, 8.0, (V, H, W)).astype(np.float32)
+    K = np.tile(
+        np.array([[120.0, 0, W / 2], [0, 120.0, H / 2], [0, 0, 1]],
+                 np.float32),
+        (V, 1, 1),
+    )
+    ang = np.linspace(0, 0.5, V)
+    R = np.stack([
+        np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                  [-np.sin(a), 0, np.cos(a)]], np.float32)
+        for a in ang
+    ])
+    c = np.stack([np.array([0.5 * a, 0, 0], np.float32) for a in ang])
+
+    rows = []
+    devices = jax.devices()
+    for n in shard_counts:
+        if len(devices) < n or V % n:
+            continue
+        mesh = make_mesh(n_view=n, n_landmark=1, devices=devices[:n])
+        fn = make_sharded_consistency_filter(mesh)
+        compiled = jax.jit(fn).lower(depths, K, R, c).compile()
+        coll = collective_bytes(compiled.as_text())
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        total_coll = sum(coll.values())
+        t_compute = flops / (chip_tflops * 1e12)
+        t_comms = total_coll / (ici_gbps * 1e9)
+        eff = t_compute / max(t_compute + t_comms, 1e-30)
+        rows.append(
+            {
+                "shards": n,
+                "collective_bytes": int(total_coll),
+                "by_kind": {k: int(v) for k, v in coll.items()},
+                "flops_per_shard": flops,
+                "bytes_per_flop": total_coll / max(flops, 1.0),
+                "projected_ici_efficiency": round(eff, 4),
+            }
+        )
+    return rows

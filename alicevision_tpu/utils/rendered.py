@@ -67,6 +67,56 @@ def _texture(p):
     return np.clip(v, 0.0, 1.0)
 
 
+_NOISE_GRIDS: dict = {}
+
+
+def _noise_grid(seed: int, size: int = 64) -> np.ndarray:
+    key = (seed, size)
+    if key not in _NOISE_GRIDS:
+        _NOISE_GRIDS[key] = (
+            np.random.RandomState(seed).rand(size, size, size).astype(np.float32)
+        )
+    return _NOISE_GRIDS[key]
+
+
+def _texture_rich(p, seed: int = 11):
+    """Multi-octave 3D value-noise texture for FEATURE pipelines.
+
+    The base `_texture` is tuned for ZNCC windows; SIFT descriptors on it
+    are locally repetitive (pure sin products alias across the world —
+    measured ~0 correct putative matches between 9-degree-separated
+    views). Trilinear value noise is the 3D analog of the two-plane
+    renderer's `procedural_texture` that the working e2e dataset uses:
+    distinctive blobs at every scale, consistent across views because it
+    is a function of the WORLD point. MVS golden fixtures keep `_texture`."""
+    g = _noise_grid(seed)
+    size = g.shape[0]
+    out = np.zeros(p.shape[:-1], np.float32)
+    amp_sum = 0.0
+    for o in range(5):
+        freq = 3.0 * (2.0**o)  # cells per world unit
+        amp = 1.0 / (1.6**o)
+        q = np.mod(p * freq, size)
+        q0 = np.floor(q).astype(np.int64)
+        f = (q - q0).astype(np.float32)
+        q1 = (q0 + 1) % size
+        x0, y0, z0 = q0[..., 0], q0[..., 1], q0[..., 2]
+        x1, y1, z1 = q1[..., 0], q1[..., 1], q1[..., 2]
+        fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+        c00 = g[x0, y0, z0] * (1 - fx) + g[x1, y0, z0] * fx
+        c10 = g[x0, y1, z0] * (1 - fx) + g[x1, y1, z0] * fx
+        c01 = g[x0, y0, z1] * (1 - fx) + g[x1, y0, z1] * fx
+        c11 = g[x0, y1, z1] * (1 - fx) + g[x1, y1, z1] * fx
+        c0 = c00 * (1 - fy) + c10 * fy
+        c1 = c01 * (1 - fy) + c11 * fy
+        out += amp * (c0 * (1 - fz) + c1 * fz)
+        amp_sum += amp
+    out /= amp_sum
+    # octave-averaging concentrates values near 0.5 (measured image std
+    # 0.034 — too flat for the DoG contrast gate); expand around the mean
+    return np.clip(0.5 + 3.0 * (out - 0.5), 0.02, 0.98)
+
+
 def _ring_cameras(n_views, radius, height_amp, focal_px, wh, seed):
     rng = np.random.RandomState(seed)
     ang = np.linspace(0, 2 * np.pi, n_views, endpoint=False)
@@ -251,6 +301,65 @@ def render_views(
         # since pix has z=1 before rotation, depth_cam = t * 1
         depths[v] = np.where(hit, t, 0.0).astype(np.float32)
     return imgs, depths, K, R, centers
+
+
+def undistort_radial_k3(xd, disto, iters: int = 12):
+    """Invert the radial K3 model by fixed-point iteration (host numpy).
+
+    xd: (..., 2) distorted normalized coords; returns undistorted xn with
+    xn * (1 + r2 (k1 + r2 (k2 + r2 k3))) = xd (camera/DistortionRadial.hpp
+    K3 semantics)."""
+    k1, k2, k3 = disto
+    xn = np.array(xd, np.float64, copy=True)
+    for _ in range(iters):
+        r2 = (xn**2).sum(-1)
+        scale = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        xn = xd / np.maximum(scale, 1e-6)[..., None]
+    return xn
+
+
+def render_hard_views(
+    n_views: int = 40,
+    wh=(1280, 960),
+    radius: float = 6.0,
+    focal_px: float = 900.0,
+    disto=(-0.25, 0.06, -0.005),
+    seed: int = 0,
+):
+    """Ray-cast DISTORTED images of the hard ring scene — the pixels a
+    physical camera with radial-K3 distortion would record.
+
+    Same camera ring as `hard_scene` (identical seed/params give identical
+    GT poses), but the output is imagery for the REAL front-end: SIFT ->
+    retrieval -> matching -> incremental SfM must recover poses AND the
+    distortion from pixels alone (the evidence regime of the reference's
+    engine tests + quality evaluation,
+    ref: src/aliceVision/sfm/pipeline/sequential/sequentialSfM_test.cpp:1,
+    src/software/utils/main_qualityEvaluation.cpp:1).
+
+    Returns (images (V, H, W) float32, K (3,3), disto (3,), R (V,3,3),
+    c (V,3)). For each output pixel the ray is traced through the INVERSE
+    distortion, so straight world edges bow in the image exactly as the
+    K3 model prescribes."""
+    boxes = default_boxes()
+    K, R, c = _ring_cameras(n_views, radius, 1.2, focal_px, wh, seed)
+    w, h = wh
+    ys, xs = np.mgrid[0:h, 0:w]
+    xd = np.stack(
+        [(xs + 0.5 - K[0, 2]) / K[0, 0], (ys + 0.5 - K[1, 2]) / K[1, 1]],
+        axis=-1,
+    )  # distorted normalized coords of each pixel
+    xn = undistort_radial_k3(xd, disto)
+    dirs_cam = np.concatenate([xn, np.ones_like(xn[..., :1])], axis=-1)
+    imgs = np.zeros((n_views, h, w), np.float32)
+    for v in range(n_views):
+        dirs = dirs_cam @ R[v]  # rows of R are cam axes -> world dirs
+        o = np.broadcast_to(c[v], dirs.shape)
+        t = _ray_box_t(o, dirs, boxes).min(axis=-1)
+        hit = np.isfinite(t)
+        p = o + np.where(hit, t, 0.0)[..., None] * dirs
+        imgs[v] = np.where(hit, _texture_rich(p), 0.5).astype(np.float32)
+    return imgs, K, np.asarray(disto), R, c
 
 
 def verified_matches_from_scene(

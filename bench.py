@@ -228,6 +228,18 @@ def bench_ba_large():
 
 
 def bench_depth_maps():
+    """SGM + Refine at the reference operating point, on RENDERED imagery.
+
+    Refine runs the LITERAL RefineParams grid — 301 hypotheses
+    (halfNbDepths 15 x nbSubsamples 10, RefineParams.hpp:23-24, evaluated
+    dense at 1/10-plane steps like
+    cuda/planeSweeping/deviceSimilarityVolume.cu:477-494) and 100
+    color-optimization iterations (RefineParams.hpp:25). The two-stage
+    fast mode (31+21 evaluations, tests/test_refine_subsample.py) is
+    reported alongside. Inputs are ray-cast box-world views (textured,
+    real parallax/occlusion) — random-noise images would hide
+    texture-dependent pathologies and cannot exercise the gather fallback
+    honestly."""
     import jax
     import jax.numpy as jnp
 
@@ -237,6 +249,7 @@ def bench_depth_maps():
         refine_depth_map_auto,
         refine_plan,
     )
+    from alicevision_tpu.utils.rendered import render_views
 
     # SGM at scale2 + stepXY2 of a 1920x1080 capture -> 480x270 volume.
     # D=256 planes: the reference CAPS depths at maxDepths=1500
@@ -246,51 +259,78 @@ def bench_depth_maps():
     # do the same; the sweep cost is linear in D, so scale accordingly.
     Hs, Ws, D, T = 272, 480, 256, 4
     Hr, Wr = 544, 960  # refine at scale 1 (of the prepared half-res image)
-    rng = np.random.RandomState(0)
-    ref_s = jnp.asarray(rng.rand(Hs, Ws), jnp.float32)
-    t_s = jnp.asarray(rng.rand(T, Hs, Ws), jnp.float32)
-    ref_r = jnp.asarray(rng.rand(Hr, Wr), jnp.float32)
-    t_r = jnp.asarray(rng.rand(T, Hr, Wr), jnp.float32)
-
-    def cams(w, h, f):
-        K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
-        Rs, ts = [], []
-        for i in range(T):
-            a = 0.02 * (i + 1)
-            c, s = np.cos(a), np.sin(a)
-            Rs.append(np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]]))
-            ts.append(np.array([-0.3 * (i + 1), 0.02 * i, 0.01]))
-        return (jnp.asarray(K), jnp.broadcast_to(jnp.asarray(K), (T, 3, 3)),
-                jnp.asarray(np.stack(Rs), jnp.float32),
-                jnp.asarray(np.stack(ts), jnp.float32))
-
-    K_s, Kt_s, R_rel, t_rel = cams(Ws, Hs, 300.0)
-    K_r, Kt_r, _, _ = cams(Wr, Hr, 600.0)
+    f_r = 900.0  # focal at refine scale
+    imgs_r, _, K_np, R_np, c_np = render_views(
+        n_views=T + 1, wh=(Wr, Hr), focal_px=f_r, arc=0.35
+    )
+    rc = 0
+    order = list(range(1, T + 1))
+    R_rel_np = np.stack([R_np[t] @ R_np[rc].T for t in order])
+    t_rel_np = np.stack(
+        [R_np[t] @ (c_np[rc] - c_np[t]) for t in order]
+    )
+    ref_r = jnp.asarray(imgs_r[rc])
+    t_r = jnp.asarray(imgs_r[1:])
+    ref_s = jnp.asarray(imgs_r[rc, ::2, ::2])
+    t_s = jnp.asarray(imgs_r[1:, ::2, ::2])
+    K_r = jnp.asarray(K_np, jnp.float32)
+    Kt_r = jnp.broadcast_to(K_r, (T, 3, 3))
+    K_s_np = K_np.copy()
+    K_s_np[:2] /= 2.0
+    K_s = jnp.asarray(K_s_np, jnp.float32)
+    Kt_s = jnp.broadcast_to(K_s, (T, 3, 3))
+    R_rel = jnp.asarray(R_rel_np, jnp.float32)
+    t_rel = jnp.asarray(t_rel_np, jnp.float32)
+    d_rng = (3.0, 10.0)  # box world sits ~4-8 units from the arc
     params = SgmParams(n_depths=D)
-    # host-side dispatch plan (all four pairs rectifiable here) so the full
-    # SGM + rectified-refine + color-opt view compiles as ONE XLA program
-    plan = refine_plan(K_r, Kt_r, R_rel, t_rel, (2.0, 20.0), (Hr, Wr))
+    # host-side dispatch plan so the full SGM + rectified-refine +
+    # color-opt view compiles as ONE XLA program; same +-15-plane span for
+    # the dense and two-stage grids, so one plan serves both
+    plan = refine_plan(K_r, Kt_r, R_rel, t_rel, d_rng, (Hr, Wr))
 
-    def one_view(ref_s_, t_s_, ref_r_, t_r_):
+    def one_view(ref_s_, t_s_, ref_r_, t_r_, dense):
         depth, sim = sgm_depth_map(ref_s_, t_s_, K_s, Kt_s, R_rel, t_rel,
-                                   2.0, 20.0, params)
+                                   d_rng[0], d_rng[1], params)
         up = jnp.repeat(jnp.repeat(depth, 2, 0), 2, 1)
-        d2, s2 = refine_depth_map_auto(up, ref_r_, t_r_, K_r, Kt_r, R_rel,
-                                       t_rel, n_offsets=15, plan=plan)
-        d3 = color_guided_optimize(d2, ref_r_)
+        if dense:  # literal 301-hypothesis RefineParams grid
+            d2, s2 = refine_depth_map_auto(
+                up, ref_r_, t_r_, K_r, Kt_r, R_rel, t_rel,
+                n_offsets=150, rel_step=0.0005, n_subsamples=1, plan=plan,
+            )
+        else:  # two-stage fast mode at the same granularity
+            d2, s2 = refine_depth_map_auto(
+                up, ref_r_, t_r_, K_r, Kt_r, R_rel, t_rel,
+                n_offsets=15, n_subsamples=10, plan=plan,
+            )
+        d3 = color_guided_optimize(d2, ref_r_, iterations=100)
         # scalar summary: forces full execution, keeps the relay transfer
         # to 4 bytes (fetching the maps would time the pipe, not the chip)
         return jnp.sum(d3) + jnp.sum(s2)
 
-    f = jax.jit(one_view)
-    float(np.asarray(f(ref_s, t_s, ref_r, t_r)))  # compile + warm
-    rtt = _rtt_baseline()
-    best = 1e9
-    for i in range(3):
-        t0 = time.perf_counter()
-        float(np.asarray(f(ref_s + jnp.float32(i + 1) * 1e-6, t_s, ref_r, t_r)))
-        best = min(best, time.perf_counter() - t0)
-    return 1.0 / max(best - rtt, 1e-9)
+    out = {}
+    for key, dense in (
+        ("sgm_refine_depth_maps_per_s", True),
+        ("sgm_refine_fast_two_stage_maps_per_s", False),
+    ):
+        f = jax.jit(partial_static(one_view, dense))
+        float(np.asarray(f(ref_s, t_s, ref_r, t_r)))  # compile + warm
+        rtt = _rtt_baseline()
+        best = 1e9
+        for i in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(
+                f(ref_s + jnp.float32(i + 1) * 1e-6, t_s, ref_r, t_r)
+            ))
+            best = min(best, time.perf_counter() - t0)
+        out[key] = round(1.0 / max(best - rtt, 1e-9), 3)
+    return out
+
+
+def partial_static(one_view, dense):
+    def g(a, b, c, d):
+        return one_view(a, b, c, d, dense)
+
+    return g
 
 
 def bench_features():
@@ -578,6 +618,79 @@ def bench_hard_ate():
         "hard_scene_posed": f"{len(posed)}/40",
         "hard_scene_ate_rel": round(ate / radius, 5),
         "hard_scene_rms_px": round(rms_px, 3),
+        **bench_hard_ate_images(),
+    }
+
+
+def bench_hard_ate_images():
+    """The same 40-view hard world, but THROUGH THE REAL FRONT-END: the
+    ring is rendered as 1280x960 radially-distorted images and the actual
+    pipeline (DSP-SIFT -> voctree retrieval -> matching -> incremental SfM)
+    must recover poses AND the distortion from pixels alone. Extraction
+    downscales to 1024 on the long side to bound the CPU-jax wall; all
+    downstream stages run at the detected-feature coordinates (full-res
+    frame)."""
+    import tempfile
+
+    import jax
+
+    from alicevision_tpu.pipeline import stages
+    from alicevision_tpu.utils.rendered import render_hard_views
+
+    cpu = jax.devices("cpu")[0]
+    V, W, H = 40, 1280, 960
+    f = 900.0
+    with jax.default_device(cpu):
+        imgs, K, disto, R_gt, c_gt = render_hard_views(
+            n_views=V, wh=(W, H), focal_px=f
+        )
+        with tempfile.TemporaryDirectory() as d:
+            img_dir = os.path.join(d, "imgs")
+            os.makedirs(img_dir)
+            for v in range(V):
+                np.save(
+                    os.path.join(img_dir, f"view_{v:03d}.npy"), imgs[v]
+                )
+            work = os.path.join(d, "w")
+            os.makedirs(work)
+            scene = os.path.join(work, "cameraInit.sfm")
+            stages.camera_init(img_dir, scene, default_focal_px=f * 1.02)
+            feats = os.path.join(work, "features")
+            stages.feature_extraction(
+                scene, feats, max_keypoints=4096, downscale_to=1024,
+                describer_types="dspsift",
+            )
+            pairs_f = os.path.join(work, "pairs.txt")
+            stages.image_matching(
+                scene, feats, pairs_f, method="voctree", n_neighbors=6
+            )
+            matches_f = os.path.join(work, "matches.npz")
+            stages.feature_matching(scene, feats, pairs_f, matches_f)
+            out = stages.incremental_sfm(
+                scene, feats, matches_f, os.path.join(work, "sfm.sfm")
+            )
+    vp = out.view_pose
+    posed_v = [v for v in range(V) if vp[v] >= 0]
+    est = np.stack([out.pose_c[vp[v]] for v in posed_v])
+    gt = c_gt[posed_v]
+    mu_e, mu_g = est.mean(0), gt.mean(0)
+    ec, gc = est - mu_e, gt - mu_g
+    U, S, Vt = np.linalg.svd(gc.T @ ec / len(est))
+    D = np.eye(3)
+    if np.linalg.det(U @ Vt) < 0:
+        D[2, 2] = -1
+    R = U @ D @ Vt
+    s = np.trace(np.diag(S) @ D) / ((ec**2).sum() / len(est))
+    ate = float(np.sqrt(np.mean(np.sum(
+        (est @ (s * R).T + (mu_g - s * R @ mu_e) - gt) ** 2, axis=1))))
+    radius = float(np.linalg.norm(c_gt - c_gt.mean(0), axis=1).mean())
+    return {
+        "hard_scene_img_posed": f"{len(posed_v)}/{V}",
+        "hard_scene_img_ate_rel": round(ate / radius, 5),
+        "hard_scene_img_focal_rec": round(float(np.mean(out.scale[0])), 1),
+        "hard_scene_img_focal_true": f,
+        "hard_scene_img_k1_rec": round(float(out.disto[0][0]), 4),
+        "hard_scene_img_k1_true": float(disto[0]),
     }
 
 
@@ -593,11 +706,13 @@ def bench_comms():
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
     jax.config.update("jax_platforms", "cpu")
-    from alicevision_tpu.parallel.comms_report import ba_comms_table
+    from alicevision_tpu.parallel.comms_report import (
+        ba_comms_table,
+        fusion_comms_table,
+    )
 
-    rows = ba_comms_table()
-    return {
-        "ba_comms_table": {
+    def fmt(rows):
+        return {
             str(r["shards"]): {
                 "collective_mb": round(r["collective_bytes"] / 1e6, 2),
                 "gflops_per_shard": round(r["flops_per_shard"] / 1e9, 2),
@@ -606,6 +721,12 @@ def bench_comms():
             }
             for r in rows
         }
+
+    return {
+        "ba_comms_table": fmt(ba_comms_table()),
+        "fusion_comms_table": fmt(
+            fusion_comms_table(V=8, hw=(272, 480))
+        ),
     }
 
 
@@ -638,9 +759,7 @@ SECTIONS = {
     "ba_large": lambda: {
         "ba_pcg_iters_per_s_1024cam_300kpts": round(bench_ba_large(), 3)
     },
-    "depth": lambda: {
-        "sgm_refine_depth_maps_per_s": round(bench_depth_maps(), 3)
-    },
+    "depth": bench_depth_maps,
     "features": lambda: {
         "feature_extraction_images_per_s": round(bench_features(), 3)
     },
