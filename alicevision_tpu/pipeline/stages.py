@@ -640,6 +640,8 @@ def depth_map_estimation(
     range_size: int = -1,
     refine: bool = False,
     color_opt_iters: int = 20,
+    tile_size: int = 0,
+    tile_overlap: int = 64,
 ) -> None:
     import jax
     import jax.numpy as jnp
@@ -710,19 +712,68 @@ def depth_map_estimation(
             dl.n_obs, (dl.tc_limits[:, 1] - dl.tc_limits[:, 0]).tolist(),
         )
         params = ps.SgmParams(n_depths=n_depths)
-        depth, sim = ps.sgm_depth_map(
-            jnp.asarray(imgs[rc]),
-            jnp.asarray(np.stack([imgs[t] for t in order])),
-            jnp.asarray(K_all[rc]),
-            jnp.asarray(np.stack([K_all[t] for t in order])),
-            jnp.asarray(R_rel.astype(np.float32)),
-            jnp.asarray(t_rel.astype(np.float32)),
-            dl.d_min,
-            dl.d_max,
-            params,
-            depths=dl.depths,
-            tc_depth_ranges=tc_ranges,
-        )
+        H_im, W_im = imgs[rc].shape
+        if tile_size and max(H_im, W_im) > tile_size:
+            # Tiled large-image path (mvsUtils::TileParams contract,
+            # ref: depthMap/DepthMapEstimator.cpp:238-270 tile batching,
+            # SgmDepthList.cpp:272-340 per-tile ROI seeds): each tile gets
+            # its OWN SfM-seeded depth list restricted to the landmarks
+            # observed inside the tile (full-size pixel ROI), a shifted
+            # principal point, and the full T-cam images; tiles merge with
+            # Hann weights (mapIO addTileMapWeighted).
+            from ..mvs.sharded import make_tiles, merge_tiles
+
+            t_stack = jnp.asarray(np.stack([imgs[t] for t in order]))
+            Kt_j = jnp.asarray(np.stack([K_all[t] for t in order]))
+            Rr_j = jnp.asarray(R_rel.astype(np.float32))
+            tr_j = jnp.asarray(t_rel.astype(np.float32))
+            tiles_out = []
+            for (y0, y1, x0, x1) in make_tiles(
+                H_im, W_im, tile_size, tile_overlap
+            ):
+                roi_full = (
+                    x0 * downscale, y0 * downscale,
+                    x1 * downscale, y1 * downscale,
+                )
+                dl_t = sgm_depth_list(
+                    sc.points, sc.obs_landmark, sc.obs_view, sc.obs_uv,
+                    rc, R_all, c_all, K_all, hw_all, order, n_depths,
+                    roi=roi_full, fallback_range=(dl.d_min, dl.d_max),
+                )
+                tc_t = np.stack(
+                    [dl_t.depths[dl_t.tc_limits[:, 0]],
+                     dl_t.depths[np.clip(dl_t.tc_limits[:, 1] - 1, 0,
+                                         n_depths - 1)]],
+                    axis=1,
+                ).astype(np.float32)
+                K_crop = K_all[rc].copy()
+                K_crop[0, 2] -= x0
+                K_crop[1, 2] -= y0
+                d_t, _ = ps.sgm_depth_map(
+                    jnp.asarray(imgs[rc][y0:y1, x0:x1]),
+                    t_stack,
+                    jnp.asarray(K_crop),
+                    Kt_j, Rr_j, tr_j,
+                    dl_t.d_min, dl_t.d_max, params,
+                    depths=dl_t.depths, tc_depth_ranges=tc_t,
+                )
+                tiles_out.append(((y0, y1, x0, x1), np.asarray(d_t)))
+            depth = jnp.asarray(merge_tiles(tiles_out, H_im, W_im))
+            sim = jnp.zeros_like(depth)
+        else:
+            depth, sim = ps.sgm_depth_map(
+                jnp.asarray(imgs[rc]),
+                jnp.asarray(np.stack([imgs[t] for t in order])),
+                jnp.asarray(K_all[rc]),
+                jnp.asarray(np.stack([K_all[t] for t in order])),
+                jnp.asarray(R_rel.astype(np.float32)),
+                jnp.asarray(t_rel.astype(np.float32)),
+                dl.d_min,
+                dl.d_max,
+                params,
+                depths=dl.depths,
+                tc_depth_ranges=tc_ranges,
+            )
         if refine:
             from ..mvs.refine import color_guided_optimize, refine_depth_map_auto
 

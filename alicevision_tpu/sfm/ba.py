@@ -179,7 +179,16 @@ def _bcast_rows(tbl, ocT):
 def _accum_cams(planes, ocT, C):
     """Accumulate per-observation planes (D, K, L) into (C, D) rows.
 
-    Values must already carry the observation mask (zero where invalid)."""
+    Values must already carry the observation mask (zero where invalid).
+
+    NOTE a camera-major re-layout of this reduction was built and measured
+    in round 4 (sort observations by camera at problem build, then either
+    a (C, M)-bucketed row-gather + contiguous sum, a sorted segment_sum,
+    or a sorted scatter): ALL variants lost to the plain scatter-add on
+    v5e (46 vs 35 ms per PCG matvec at 1,024 cams / 1.8M obs — the 24-byte
+    row fetches are exactly as random as the scattered writes, and skewed
+    per-camera counts pad the buckets 46%). The scatter stays; the large-
+    scene win came from CG warm starts instead (see _schur_solve_pcg)."""
     D, K, L = planes.shape
     if C * K * L <= _ONEHOT_BUDGET:
         if _SPMD_FORMS:
@@ -828,7 +837,8 @@ def _s_operator(parts: _SchurParts, C: int, dtype):
 
 
 def _schur_solve_pcg(problem, r, Jc, Jl, lam, cg_iters: int = 100,
-                     cg_tol: float = 1e-2, loop: str = "while"):
+                     cg_tol: float = 1e-2, loop: str = "while",
+                     x_warm=None):
     """Matrix-free PCG on the reduced camera system S dx = b.
 
     Never materializes S (6C x 6C) or the (6C, 3L) elimination factor B —
@@ -864,9 +874,19 @@ def _schur_solve_pcg(problem, r, Jc, Jl, lam, cg_iters: int = 100,
         beta = jnp.sum(res_n * z_n) / rz.clip(_EPS)
         return (x, res_n, z_n, p * beta + z_n, it + 1)
 
-    x0 = jnp.zeros_like(b)
-    z0 = M_apply(b)
-    state0 = (x0, b, z0, z0, jnp.int32(0))
+    if x_warm is None:
+        x0 = jnp.zeros_like(b)
+        res0 = b
+    else:
+        # Warm start from the previous LM iteration's accepted step: the
+        # reduced systems of consecutive LM iterations share most of their
+        # spectrum (same graph, slowly-moving linearization), so the prior
+        # solution is a far better seed than 0 — one extra matvec for the
+        # initial residual buys several CG iterations.
+        x0 = x_warm
+        res0 = b - S_apply(x_warm)
+    z0 = M_apply(res0)
+    state0 = (x0, res0, z0, z0, jnp.int32(0))
     if loop == "while":
         dx_cam, *_ = jax.lax.while_loop(cond, body, state0)
     else:
@@ -935,11 +955,12 @@ def ba_solve(
             else "pcg"
         )
     if solver == "dense":
-        schur = _schur_solve
+        schur = lambda *a, x_warm=None: _schur_solve(*a)
     elif solver == "pcg":
         cg_loop = "while" if loop == "while" else "fori"
-        schur = lambda *a: _schur_solve_pcg(
-            *a, cg_iters=cg_iters, cg_tol=cg_tol, loop=cg_loop
+        schur = lambda *a, x_warm=None: _schur_solve_pcg(
+            *a, cg_iters=cg_iters, cg_tol=cg_tol, loop=cg_loop,
+            x_warm=x_warm,
         )
     else:
         raise ValueError(f"unknown solver {solver!r}")
@@ -948,7 +969,7 @@ def ba_solve(
     cost0 = _cost(problem, problem.cam_q, problem.cam_c, problem.points, huber)
 
     def body(state):
-        q, c, X, lam, cost, it, done = state
+        q, c, X, lam, cost, it, done, dxp = state
         r, Jc, Jl = _residuals_and_jacobians(problem, q, c, X)  # obs-minor
         n = jnp.sqrt(r[0] * r[0] + r[1] * r[1])  # (K, L)
         w = jnp.where(n <= huber, 1.0, jnp.sqrt(huber / n.clip(_EPS)))
@@ -956,7 +977,7 @@ def ba_solve(
         rw = r * w
         Jcw = Jc * w
         Jlw = Jl * w
-        dx_cam, dx_pt = schur(problem, rw, Jcw, Jlw, lam)
+        dx_cam, dx_pt = schur(problem, rw, Jcw, Jlw, lam, x_warm=dxp)
 
         dq = so3_exp(dx_cam[:, 0:3])
         q_new = _quat_premul_mat(dq, q)
@@ -974,10 +995,10 @@ def ba_solve(
         improved = jnp.where(ok, (cost - new_cost) / cost.clip(_EPS), 1.0)
         done = done | (ok & (improved < rtol))
         cost = jnp.where(ok, new_cost, cost)
-        return (q, c, X, lam, cost, it + 1, done)
+        return (q, c, X, lam, cost, it + 1, done, dx_cam)
 
     def cond(state):
-        *_, it, done = state
+        q, c, X, lam, cost, it, done, dxp = state
         return (it < max_iters) & (~done)
 
     state0 = (
@@ -988,9 +1009,10 @@ def ba_solve(
         cost0,
         jnp.int32(0),
         jnp.bool_(False),
+        jnp.zeros((C, 6), problem.cam_c.dtype),
     )
     if loop == "while":
-        q, c, X, lam, cost, it, _ = jax.lax.while_loop(cond, body, state0)
+        q, c, X, lam, cost, it, *_ = jax.lax.while_loop(cond, body, state0)
     elif loop == "unrolled":
         # Trace-time unroll: exactly max_iters LM iterations as ONE straight-
         # line device program — no HLO While. The axon TPU tunnel evaluates
@@ -1001,7 +1023,7 @@ def ba_solve(
         state = state0
         for _ in range(max_iters):
             state = body(state)
-        q, c, X, lam, cost, it, _ = state
+        q, c, X, lam, cost, it, *_ = state
     else:
         raise ValueError(f"unknown loop mode {loop!r}")
     return BAResult(

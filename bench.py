@@ -215,6 +215,13 @@ def bench_ba_small():
 
 
 def bench_ba_large():
+    """Large-scene PCG BA. cg_iters=16 with warm-started CG (the previous
+    LM iteration's step seeds the next solve) — measured on-chip: the
+    final cost after 3 LM iterations is IDENTICAL for cg_iters 8/16/32/64
+    (warm start + SCHUR_JACOBI converge the reduced solve below the 1e-2
+    CG tolerance within ~8 matvecs), so the extra masked iterations of
+    the old cg_iters=32 operating point were pure waste. The cost curve is
+    reported so the equivalence is auditable."""
     import jax
 
     from alicevision_tpu.sfm import ba
@@ -222,9 +229,19 @@ def bench_ba_large():
     problem = make_large_problem()
     n_iters = 3
     solve = jax.jit(lambda p: ba.ba_solve(p, max_iters=n_iters, rtol=0.0,
-                                          solver="pcg", cg_iters=32,
+                                          solver="pcg", cg_iters=16,
                                           loop="unrolled"))
-    return _time_solve(solve, problem, n_iters)
+    rate = _time_solve(solve, problem, n_iters)
+    curve = {}
+    for cg in (8, 16, 64):
+        f = jax.jit(lambda p, cg=cg: ba.ba_solve(
+            p, max_iters=n_iters, rtol=0.0, solver="pcg", cg_iters=cg,
+            loop="unrolled"))
+        curve[str(cg)] = round(float(np.asarray(f(problem).cost_final)), 0)
+    return {
+        "ba_pcg_iters_per_s_1024cam_300kpts": round(rate, 3),
+        "ba_pcg_cost_final_by_cg_iters": curve,
+    }
 
 
 def bench_depth_maps():
@@ -366,7 +383,29 @@ def bench_features():
         t0 = time.perf_counter()
         float(np.asarray(f(x + jnp.float32(i + 1) * 1e-6)))
         best = min(best, time.perf_counter() - t0)
-    return 1.0 / max(best - rtt, 1e-9)
+    tpu_rate = 1.0 / max(best - rtt, 1e-9)
+
+    # measured denominator: the IDENTICAL extract program XLA-compiled for
+    # the host CPU (the same-math A/B pattern the BA headline uses). The
+    # reference operating point being compared is VLFeat DSP-SIFT, which
+    # pools dspNumScales=10 rescaled detections per keypoint
+    # (ImageDescriber_DSPSIFT_vlfeat.cpp:304-311) — single-threaded VLFeat
+    # runs O(1) img/s at this size; this denominator is the stronger
+    # XLA-on-host contender.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        xc = jax.device_put(jnp.asarray(img), cpu)
+        fc = jax.jit(run)
+        float(np.asarray(fc(xc)))
+        best_c = 1e9
+        for i in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(fc(xc + jnp.float32(i + 1) * 1e-6)))
+            best_c = min(best_c, time.perf_counter() - t0)
+    return {
+        "feature_extraction_images_per_s": round(tpu_rate, 3),
+        "feature_extraction_images_per_s_cpu": round(1.0 / best_c, 3),
+    }
 
 
 def bench_matching():
@@ -730,6 +769,198 @@ def bench_comms():
     }
 
 
+def bench_roofline():
+    """Roofline accounting for the headline kernels — converts BASELINE's
+    "speed-of-light per chip" bar into a measured table.
+
+    For each kernel: achieved GFLOP/s and HBM GB/s (walls measured on the
+    chip net of relay RTT; FLOP/byte counts from XLA's cost model on the
+    compiled executable) against v5e peaks, and a classification:
+      compute-bound   — arithmetic intensity above the ridge AND compute
+                        utilization dominates,
+      bandwidth-bound — intensity below the ridge AND BW utilization
+                        dominates,
+      latency-bound   — both utilizations low (dispatch / serial-dependency
+                        limited, not resource limited).
+    v5e peaks: 197 TFLOP/s bf16 MXU (f32 ~1/4 of that through the MXU),
+    819 GB/s HBM (public TPU v5e specs).
+
+    Caveat: XLA's "bytes accessed" is the LOGICAL pre-fusion traffic, an
+    upper bound on real HBM traffic — utilization fractions slightly above
+    1.0 mean the kernel is fused well, not that physics broke."""
+    import jax
+    import jax.numpy as jnp
+
+    PEAK_F32 = 49.0e12  # f32-through-MXU peak
+    PEAK_BW = 819.0e9
+
+    def perturb_args(args, i):
+        # the axon runtime memoizes repeated identical calls — nudge the
+        # first float leaf each rep so timings measure real execution
+        leaves, treedef = jax.tree_util.tree_flatten(args)
+        for j, leaf in enumerate(leaves):
+            if hasattr(leaf, "dtype") and jnp.issubdtype(
+                leaf.dtype, jnp.floating
+            ):
+                leaves[j] = leaf + jnp.asarray(1e-7 * (i + 1), leaf.dtype)
+                break
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def measure(name, fn, args, n_sub=1):
+        compiled = jax.jit(fn).lower(*args).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        bytes_ = float(cost.get("bytes accessed", 0.0))
+        jf = jax.jit(fn)
+
+        def run(i):
+            # time by VALUE fetch: block_until_ready is a no-op on the lazy
+            # axon runtime (see _time_solve); all kernels return one scalar
+            out = jf(*perturb_args(args, i))
+            return float(np.asarray(jax.tree_util.tree_leaves(out)[0]))
+
+        run(0)  # warm
+        rtt = _rtt_baseline()
+        best = 1e9
+        for i in range(3):
+            t0 = time.perf_counter()
+            run(i + 1)
+            best = min(best, time.perf_counter() - t0)
+        wall = max(best - rtt, 1e-9) / n_sub
+        flops /= n_sub
+        bytes_ /= n_sub
+        gfs = flops / wall / 1e9
+        gbs = bytes_ / wall / 1e9
+        fc = flops / wall / PEAK_F32
+        fb = bytes_ / wall / PEAK_BW
+        if max(fc, fb) < 0.10:
+            cls = "latency-bound"
+        elif fc >= fb:
+            cls = "compute-bound"
+        else:
+            cls = "bandwidth-bound"
+        return {
+            "wall_ms": round(wall * 1e3, 2),
+            "gflop_per_s": round(gfs, 1),
+            "hbm_gb_per_s": round(gbs, 1),
+            "frac_peak_compute": round(fc, 3),
+            "frac_peak_bw": round(fb, 3),
+            "bound": cls,
+        }
+
+    out = {}
+
+    # --- BA dense step (100 cams / 10k pts) --------------------------------
+    from alicevision_tpu.sfm import ba
+
+    problem = make_problem()
+    out["ba_dense_iter"] = measure(
+        "ba_dense",
+        lambda p: ba.ba_solve(p, max_iters=4, rtol=0.0, solver="dense",
+                              loop="unrolled").cost_final,
+        (problem,), n_sub=4,
+    )
+
+    # --- BA PCG matvec (1024 cams / 300k pts / 1.8M obs) -------------------
+    big = make_large_problem()
+
+    def pcg_matvecs(p):
+        r, Jc, Jl = ba._residuals_and_jacobians(
+            p, p.cam_q, p.cam_c, p.points
+        )
+        parts = ba._schur_prelude(p, r, Jc, Jl, jnp.float32(1e-4))
+        S_apply, M_apply = ba._s_operator(parts, p.cam_q.shape[0], r.dtype)
+
+        def body(x, _):
+            return M_apply(S_apply(x)), None
+
+        x, _ = jax.lax.scan(body, parts.b, None, length=16)
+        return jnp.sum(x)
+
+    out["ba_pcg_matvec"] = measure("pcg_matvec", pcg_matvecs, (big,), n_sub=16)
+
+    # --- SGM similarity volume (480x272, D=256, T=4, rectified) ------------
+    from alicevision_tpu.mvs.plane_sweep import SgmParams
+    from alicevision_tpu.mvs.rectified import similarity_volume_auto
+    from alicevision_tpu.utils.rendered import render_views
+
+    Hs, Ws, D, T = 272, 480, 256, 4
+    imgs, _, K_np, R_np, c_np = render_views(
+        n_views=T + 1, wh=(Ws, Hs), focal_px=450.0, arc=0.35
+    )
+    R_rel = np.stack([R_np[t] @ R_np[0].T for t in range(1, T + 1)])
+    t_rel = np.stack(
+        [R_np[t] @ (c_np[0] - c_np[t]) for t in range(1, T + 1)]
+    )
+    K_s = jnp.asarray(K_np, jnp.float32)
+    depths = jnp.linspace(3.0, 10.0, D)
+    params = SgmParams(n_depths=D)
+    # poses must be CONCRETE closures: similarity_volume_auto's per-pair
+    # rectifiability gate is host-side — traced poses silently fall back
+    # to the gather sweep (measured 4.9 s vs ~0.2 s rectified)
+    R_rel_j = jnp.asarray(R_rel, jnp.float32)
+    t_rel_j = jnp.asarray(t_rel, jnp.float32)
+    out["sgm_similarity"] = measure(
+        "sgm_sim",
+        lambda ref, ts: jnp.sum(similarity_volume_auto(
+            ref, ts, K_s, jnp.broadcast_to(K_s, (T, 3, 3)),
+            R_rel_j, t_rel_j, depths, params,
+        )),
+        (jnp.asarray(imgs[0]), jnp.asarray(imgs[1:])),
+    )
+
+    # --- Refine rectified scan (544x960, 31 offsets, 1 pair) ---------------
+    from alicevision_tpu.mvs.refine import (
+        _pair_refine_scores_rectified,
+        refine_plan,
+    )
+
+    Hr, Wr = 544, 960
+    imgs_r, _, K2_np, R2_np, c2_np = render_views(
+        n_views=2, wh=(Wr, Hr), focal_px=900.0, arc=0.35
+    )
+    R2 = (R2_np[1] @ R2_np[0].T).astype(np.float32)
+    t2 = (R2_np[1] @ (c2_np[0] - c2_np[1])).astype(np.float32)
+    K_r = jnp.asarray(K2_np, jnp.float32)
+    plan = refine_plan(
+        K_r, jnp.asarray(K2_np[None], jnp.float32), jnp.asarray(R2[None]),
+        jnp.asarray(t2[None]), (3.0, 10.0), (Hr, Wr),
+    )
+    assert plan[0][0] == "rectified"
+    _, s_lo, s_hi = plan[0]
+    d0 = jnp.full((Hr, Wr), 5.0, jnp.float32)
+    out["refine_scan_pair"] = measure(
+        "refine_scan",
+        lambda d, ref, t: jnp.sum(_pair_refine_scores_rectified(
+            d, ref, t, K_r, K_r, jnp.asarray(R2), jnp.asarray(t2),
+            0.005, 15, s_lo, s_hi,
+        )),
+        (d0, jnp.asarray(imgs_r[0]), jnp.asarray(imgs_r[1])),
+    )
+
+    # --- DSP-SIFT extraction (1024x768) ------------------------------------
+    from alicevision_tpu.features import sift
+
+    rng = np.random.RandomState(0)
+    from scipy.signal import convolve2d
+
+    img = convolve2d(
+        rng.rand(768, 1024), np.ones((8, 8)) / 64.0, mode="same"
+    ).astype(np.float32)
+    cfg = sift.SiftConfig(max_keypoints=4096, dsp=True)
+    out["sift_extract"] = measure(
+        "sift",
+        lambda im: sum(
+            jnp.sum(o.astype(jnp.float32))
+            for o in jax.tree_util.tree_leaves(sift.extract(im, cfg))
+        ),
+        (jnp.asarray(img),),
+    )
+    return {"roofline": out}
+
+
 def _section_ba_small():
     v, problem = bench_ba_small()
     from benchmarks.cpu_lm_reference import (
@@ -756,17 +987,14 @@ def _section_ba_small():
 
 SECTIONS = {
     "ba_small": _section_ba_small,
-    "ba_large": lambda: {
-        "ba_pcg_iters_per_s_1024cam_300kpts": round(bench_ba_large(), 3)
-    },
+    "ba_large": bench_ba_large,
     "depth": bench_depth_maps,
-    "features": lambda: {
-        "feature_extraction_images_per_s": round(bench_features(), 3)
-    },
+    "features": bench_features,
     "matching": bench_matching,
     "e2e": lambda: {"e2e_10img_wall_s": round(bench_e2e_cpu(), 1)},
     "e2e_tpu": bench_e2e_tpu,
     "hard_ate": bench_hard_ate,
+    "roofline": bench_roofline,
     "comms": bench_comms,
 }
 
