@@ -664,7 +664,7 @@ def _schur_solve(problem, r, Jc, Jl, lam):
     return dx_cam, dx_pt
 
 
-def _schur_solve_joint(problem, r, Jc, Jl, Jt, lam):
+def _schur_solve_joint(problem, r, Jc, Jl, Jt, lam, colmask=None):
     """Damped Schur step of the JOINT pose/point/shared-intrinsics system:
     returns (dx_cam (C,6), dx_pt (L,3), dtheta (P,)).
 
@@ -679,6 +679,13 @@ def _schur_solve_joint(problem, r, Jc, Jl, Jt, lam):
     mT = problem.obs_mask.T.astype(r.dtype)
     P = Jt.shape[1]
     Jt = Jt * mT  # (2, P, K, L)
+    if colmask is not None:
+        # traced per-parameter gate: a zeroed column + identity diagonal
+        # row below makes the masked parameter's step exactly 0 — the
+        # refine_pp / coarse-to-fine-disto policy becomes DATA, so every
+        # joint solve shares ONE compiled program (three static variants
+        # previously cost one relay compile + cache load each)
+        Jt = Jt * colmask[None, :, None, None]
     live_cam = (~problem.cam_fixed).astype(r.dtype)[parts.ocT] * mT
     live_pt = (~problem.point_fixed).astype(r.dtype)[None] * mT
     Jc_m = Jc * live_cam
@@ -752,6 +759,8 @@ def _schur_solve_joint(problem, r, Jc, Jl, Jt, lam):
         P, dtype=r.dtype
     )
     S_tt = U_td - Y_tm @ Y_tm.T
+    if colmask is not None:
+        S_tt = S_tt + jnp.diag(1.0 - colmask)
 
     gls = [
         l11 * parts.g_l[0] + l21 * parts.g_l[1] + l31 * parts.g_l[2],
@@ -1054,6 +1063,7 @@ def ba_solve_joint(
     refine_disto: bool = True,
     disto_max_order: int | None = None,
     loop: str = "while",
+    param_mask=None,
 ) -> JointBAResult:
     """LM over poses + points + SHARED intrinsics in one Schur problem.
 
@@ -1061,7 +1071,13 @@ def ba_solve_joint(
     every BA (BundleAdjustment.hpp REFINE_INTRINSICS_*). The alternating
     refine_intrinsics pass stalls when poses absorb distortion (the
     focal/depth 'dolly-zoom' coupling); the joint system does not. Dense
-    reduced solve only (the intrinsics block adds <= 10 rows)."""
+    reduced solve only (the intrinsics block adds <= 10 rows).
+
+    param_mask: optional TRACED (4 + DISTO_PARAMS,) float gate over the
+    packed parameter slots [fx, fy, cx, cy, disto...] — a masked slot's
+    step is exactly 0. Lets callers vary the refine_pp / coarse-to-fine
+    distortion policy per call without a recompile (the static
+    refine_*/disto_max_order flags shape the program structurally)."""
     idx = []
     if refine_focal:
         idx += [0, 1]
@@ -1081,6 +1097,10 @@ def ba_solve_joint(
     # scatter map from the packed P-vector back to (I, n_p)
     rows = np.repeat(np.arange(I), len(intr_param_idx))
     cols = np.tile(np.array(intr_param_idx), I)
+    colmask = (
+        None if param_mask is None
+        else jnp.asarray(param_mask)[jnp.asarray(cols)]
+    )
 
     huber = jnp.float32(huber_delta_px)
     zero_dt = jnp.zeros((I, n_p), jnp.float32)
@@ -1095,7 +1115,7 @@ def ba_solve_joint(
         w = jnp.where(n <= huber, 1.0, jnp.sqrt(huber / n.clip(_EPS)))
         w = w * problem.obs_mask.T
         dx_cam, dx_pt, dth = _schur_solve_joint(
-            problem, r * w, Jc * w, Jl * w, Jt * w, lam
+            problem, r * w, Jc * w, Jl * w, Jt * w, lam, colmask=colmask
         )
         dq = so3_exp(dx_cam[:, 0:3])
         q_new = _quat_premul_mat(dq, q)

@@ -396,13 +396,16 @@ class IncrementalSfM:
                 )
         if not cand:
             return []
-        # power-of-two buckets on both axes to limit recompiles; chunk the
-        # batch so the (B, n_hyps*4, cap) residual tensor stays small
+        # fixed batch width + power-of-two capacity: every resection group
+        # hits one XLA program per capacity bucket (padding a 1-view group
+        # to 8 costs microseconds on-chip; a second compile costs seconds
+        # through the relay). CHUNK=8 bounds the (B, n_hyps*4, cap)
+        # residual tensor.
         posed = []
         CHUNK = 8
         for s in range(0, len(cand), CHUNK):
             chunk = cand[s : s + CHUNK]
-            B = 1 << int(np.ceil(np.log2(len(chunk))))
+            B = CHUNK
             cap = 1 << int(
                 np.ceil(np.log2(max(max(len(c[1]) for c in chunk), 32)))
             )
@@ -628,9 +631,17 @@ class IncrementalSfM:
         # edge undistortion (and thereby resection)
         n_obs_live = int(np.asarray(problem.obs_mask).sum())
         order = 1 if n_obs_live < 3000 else (2 if n_obs_live < 10000 else None)
-        res = _ba_solve_joint_jit(
-            problem, n_posed >= 8, order,
-        )
+        # refine_pp / disto order are TRACED mask data, not static flags —
+        # every joint solve of a reconstruction shares one XLA program
+        # (three static variants previously cost one relay compile each)
+        import alicevision_tpu.camera as _cam
+
+        mask = np.ones(4 + _cam.DISTO_PARAMS, np.float32)
+        if n_posed < 8:
+            mask[2:4] = 0.0
+        if order is not None:
+            mask[4 + order :] = 0.0
+        res = _ba_solve_joint_jit(problem, jnp.asarray(mask))
         self.intr_np = jax.tree_util.tree_map(np.asarray, res.intr)
         self.res.pose_R = np.asarray(
             geo.quat_to_mat(res.cam_q), np.float64
@@ -903,15 +914,12 @@ def _ba_solve_jit(problem):
     return _ba_solve_jit_impl(problem, _ba_loop_mode())
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3))
-def _ba_solve_joint_jit_impl(problem, refine_pp, disto_max_order, loop):
+@partial(jax.jit, static_argnums=(2,))
+def _ba_solve_joint_jit_impl(problem, param_mask, loop):
     return ba_mod.ba_solve_joint(
-        problem, max_iters=15, refine_pp=refine_pp,
-        disto_max_order=disto_max_order, loop=loop,
+        problem, max_iters=15, param_mask=param_mask, loop=loop,
     )
 
 
-def _ba_solve_joint_jit(problem, refine_pp, disto_max_order):
-    return _ba_solve_joint_jit_impl(
-        problem, refine_pp, disto_max_order, _ba_loop_mode()
-    )
+def _ba_solve_joint_jit(problem, param_mask):
+    return _ba_solve_joint_jit_impl(problem, param_mask, _ba_loop_mode())
