@@ -580,16 +580,38 @@ def bench_e2e_tpu():
         img_dir = os.path.join(d, "imgs")
         os.makedirs(img_dir)
         make_test_dataset(img_dir, n_views=6, wh=(480, 360), focal=400.0)
+        # steady-state like the CPU section: the first pass loads every
+        # cached executable through the relay (seconds per program — the
+        # dominant first-run cost now that warm program calls are ~30 ms);
+        # the measured second pass is the deployment-relevant wall
         os.makedirs(os.path.join(d, "w1"))
+        run_once(img_dir, os.path.join(d, "w1"), {})
+        os.makedirs(os.path.join(d, "w2"))
         walls = {}
         t0 = time.perf_counter()
-        n_poses = run_once(img_dir, os.path.join(d, "w1"), walls)
+        n_poses = run_once(img_dir, os.path.join(d, "w2"), walls)
         dt = time.perf_counter() - t0
     if n_poses < 5:
         raise RuntimeError(f"e2e-tpu posed only {n_poses}/6 views")
+
+    # the 10-image TPU wall, steady-state (same warm programs; a couple of
+    # new capacity buckets load on the first pass)
+    with tempfile.TemporaryDirectory() as d:
+        img_dir = os.path.join(d, "imgs")
+        os.makedirs(img_dir)
+        make_test_dataset(img_dir, n_views=10, wh=(480, 360), focal=400.0)
+        os.makedirs(os.path.join(d, "w1"))
+        run_once(img_dir, os.path.join(d, "w1"), {})
+        os.makedirs(os.path.join(d, "w2"))
+        t0 = time.perf_counter()
+        n10 = run_once(img_dir, os.path.join(d, "w2"), {})
+        dt10 = time.perf_counter() - t0
+    if n10 < 8:
+        raise RuntimeError(f"e2e-tpu posed only {n10}/10 views")
     top = sorted(walls.items(), key=lambda kv: -kv[1])[:2]
     return {
         "e2e_6img_wall_s_tpu": round(dt, 1),
+        "e2e_10img_wall_s_tpu": round(dt10, 1),
         "e2e_tpu_stage_walls": walls,
         "e2e_tpu_top_host_bound": [k for k, _ in top],
     }
@@ -1015,19 +1037,27 @@ def main():
     extra = {}
     for name in SECTIONS:
         t0 = time.perf_counter()
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--section", name],
-                capture_output=True,
-                timeout=timeout,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            line = out.stdout.decode().strip().splitlines()[-1]
-            vals = json.loads(line)
-            extra.update(vals)
-            print(f"# {name}: {vals} ({time.perf_counter()-t0:.0f}s)", flush=True)
-        except Exception as e:  # noqa: BLE001 — sections are independent
-            print(f"# {name} FAILED: {type(e).__name__}: {e}", flush=True)
+        # one retry per section: the tunneled TPU worker occasionally
+        # crashes/restarts mid-run ("TPU worker process crashed"); a fresh
+        # subprocess reattaches and the compile cache makes the retry cheap
+        for attempt in (1, 2):
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--section", name],
+                    capture_output=True,
+                    timeout=timeout,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                line = out.stdout.decode().strip().splitlines()[-1]
+                vals = json.loads(line)
+                extra.update(vals)
+                print(f"# {name}: {vals} ({time.perf_counter()-t0:.0f}s)",
+                      flush=True)
+                break
+            except Exception as e:  # noqa: BLE001 — sections are independent
+                print(f"# {name} attempt {attempt} FAILED: "
+                      f"{type(e).__name__}: {e}", flush=True)
 
     value = extra.pop("ba_lm_iters_per_s_100cam_10kpts", None)
     baseline = extra.get("cpu_lm_iters_per_s_measured") or None
