@@ -67,97 +67,119 @@ struct Arc {
 double bk_maxflow(int64_t n_nodes, const int64_t* eu, const int64_t* ev,
                   const double* ecap, const double* erev, int64_t n_edges,
                   const double* tcap_in, uint8_t* out_label) {
+    // Dinic's algorithm with explicit super-source/super-sink.
+    //
+    // The previous implementation was Edmonds-Karp with a FULL BFS restart
+    // per augmenting path — O(paths x E), measured ~13 min on a 316k-cell
+    // meshing graph (the reference's BGL boykov_kolmogorov handles the same
+    // in seconds). Dinic does ONE BFS per phase and finds a blocking flow
+    // with the current-arc DFS; on these short-path sparse meshing graphs
+    // the phase count is tiny, giving near-linear behavior.
+    const int64_t S = n_nodes;      // super source
+    const int64_t T = n_nodes + 1;  // super sink
+    const int64_t N = n_nodes + 2;
+
     std::vector<Arc> arcs;
-    arcs.reserve(2 * n_edges);
-    std::vector<int32_t> first(n_nodes, -1);
-    auto add_arc = [&](int32_t u, int32_t v, double c) {
+    arcs.reserve(2 * (n_edges + n_nodes));
+    std::vector<int32_t> first(N, -1);
+    auto add_pair = [&](int32_t u, int32_t v, double c, double cr) {
         Arc a;
         a.head = v;
         a.next = first[u];
         a.rcap = c;
         first[u] = (int32_t)arcs.size();
         arcs.push_back(a);
+        Arc b;
+        b.head = u;
+        b.next = first[v];
+        b.rcap = cr;
+        first[v] = (int32_t)arcs.size();
+        arcs.push_back(b);
     };
     for (int64_t e = 0; e < n_edges; ++e) {
-        if (eu[e] < 0 || eu[e] >= n_nodes || ev[e] < 0 || ev[e] >= n_nodes) {
-            // keep arc pairing (index ^ 1) intact: skip the whole pair
-            continue;
-        }
-        add_arc((int32_t)eu[e], (int32_t)ev[e], ecap[e]);
-        add_arc((int32_t)ev[e], (int32_t)eu[e], erev[e]);
+        if (eu[e] < 0 || eu[e] >= n_nodes || ev[e] < 0 || ev[e] >= n_nodes)
+            continue;  // defend the heap against malformed edge lists
+        add_pair((int32_t)eu[e], (int32_t)ev[e], ecap[e], erev[e]);
     }
-    std::vector<double> tcap(tcap_in, tcap_in + n_nodes);
+    for (int64_t i = 0; i < n_nodes; ++i) {
+        if (tcap_in[i] > 1e-12)
+            add_pair((int32_t)S, (int32_t)i, tcap_in[i], 0.0);
+        else if (tcap_in[i] < -1e-12)
+            add_pair((int32_t)i, (int32_t)T, -tcap_in[i], 0.0);
+    }
 
-    // Simple BFS-based augmenting (Edmonds-Karp over the residual graph with
-    // terminal capacities folded in). For the meshing graphs (short paths,
-    // sparse) this runs close to BK in practice and is dependably correct.
-    double flow = 0.0;
-    std::vector<int32_t> pred_arc(n_nodes);
-    std::vector<uint8_t> visited(n_nodes);
+    std::vector<int32_t> level(N);
+    std::vector<int32_t> it(N);
+    std::vector<int32_t> bfs_q(N);
 
-    while (true) {
-        // BFS from all source-connected nodes.
-        std::fill(visited.begin(), visited.end(), 0);
-        std::fill(pred_arc.begin(), pred_arc.end(), -1);
-        std::queue<int32_t> q;
-        for (int64_t i = 0; i < n_nodes; ++i) {
-            if (tcap[i] > 1e-12) {
-                q.push((int32_t)i);
-                visited[i] = 1;
-            }
-        }
-        int32_t reached = -1;
-        while (!q.empty() && reached < 0) {
-            int32_t u = q.front();
-            q.pop();
-            if (tcap[u] < -1e-12) {
-                reached = u;
-                break;
-            }
+    auto bfs = [&]() -> bool {
+        std::fill(level.begin(), level.end(), -1);
+        int32_t head = 0, tail = 0;
+        bfs_q[tail++] = (int32_t)S;
+        level[S] = 0;
+        while (head < tail) {
+            int32_t u = bfs_q[head++];
             for (int32_t ai = first[u]; ai != -1; ai = arcs[ai].next) {
-                if (arcs[ai].rcap > 1e-12 && !visited[arcs[ai].head]) {
-                    visited[arcs[ai].head] = 1;
-                    pred_arc[arcs[ai].head] = ai;
-                    q.push(arcs[ai].head);
-                    if (tcap[arcs[ai].head] < -1e-12) {
-                        reached = arcs[ai].head;
-                        break;
-                    }
+                int32_t v = arcs[ai].head;
+                if (arcs[ai].rcap > 1e-12 && level[v] < 0) {
+                    level[v] = level[u] + 1;
+                    bfs_q[tail++] = v;
                 }
             }
         }
-        if (reached < 0) break;
+        return level[T] >= 0;
+    };
 
-        // Find bottleneck along source -> ... -> reached -> sink.
-        double bottleneck = -tcap[reached];
-        int32_t x = reached;
-        while (pred_arc[x] != -1) {
-            bottleneck = std::min(bottleneck, arcs[pred_arc[x]].rcap);
-            x = arcs[pred_arc[x] ^ 1].head;
+    // Iterative blocking-flow DFS with current-arc pointers.
+    std::vector<int32_t> path_arc;
+    path_arc.reserve(1024);
+    double flow = 0.0;
+    while (bfs()) {
+        for (int64_t i = 0; i < N; ++i) it[i] = first[i];
+        for (;;) {
+            // walk from S following admissible current arcs
+            path_arc.clear();
+            int32_t u = (int32_t)S;
+            while (u != (int32_t)T) {
+                int32_t ai = it[u];
+                while (ai != -1 &&
+                       (arcs[ai].rcap <= 1e-12 ||
+                        level[arcs[ai].head] != level[u] + 1))
+                    ai = arcs[ai].next;
+                it[u] = ai;
+                if (ai == -1) {
+                    // dead end: retreat (or phase done at S)
+                    if (path_arc.empty()) {
+                        u = -1;
+                        break;
+                    }
+                    level[u] = -1;  // prune exhausted node this phase
+                    int32_t pa = path_arc.back();
+                    path_arc.pop_back();
+                    u = arcs[pa ^ 1].head;  // tail of pa
+                    it[u] = arcs[pa].next;  // skip the arc into the dead node
+                    continue;
+                }
+                path_arc.push_back(ai);
+                u = arcs[ai].head;
+            }
+            if (u == -1) break;  // no more augmenting paths this phase
+            // bottleneck + augment
+            double bn = arcs[path_arc[0]].rcap;
+            for (int32_t pa : path_arc) bn = std::min(bn, arcs[pa].rcap);
+            for (int32_t pa : path_arc) {
+                arcs[pa].rcap -= bn;
+                arcs[pa ^ 1].rcap += bn;
+            }
+            flow += bn;
         }
-        bottleneck = std::min(bottleneck, tcap[x]);
-
-        // Augment.
-        tcap[reached] += bottleneck;  // toward 0 (negative = to-sink)
-        x = reached;
-        while (pred_arc[x] != -1) {
-            arcs[pred_arc[x]].rcap -= bottleneck;
-            arcs[pred_arc[x] ^ 1].rcap += bottleneck;
-            x = arcs[pred_arc[x] ^ 1].head;
-        }
-        tcap[x] -= bottleneck;
-        flow += bottleneck;
     }
 
-    // Final reachability from remaining sources = source side of min cut.
-    std::fill(visited.begin(), visited.end(), 0);
+    // Reachability from S in the residual graph = source side of the cut.
+    std::vector<uint8_t> visited(N, 0);
     std::queue<int32_t> q2;
-    for (int64_t i = 0; i < n_nodes; ++i) {
-        if (tcap[i] > 1e-12) {
-            q2.push((int32_t)i);
-            visited[i] = 1;
-        }
-    }
+    q2.push((int32_t)S);
+    visited[S] = 1;
     while (!q2.empty()) {
         int32_t u = q2.front();
         q2.pop();

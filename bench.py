@@ -1037,10 +1037,10 @@ def main():
     extra = {}
     for name in SECTIONS:
         t0 = time.perf_counter()
-        # one retry per section: the tunneled TPU worker occasionally
+        # retries per section: the tunneled TPU worker intermittently
         # crashes/restarts mid-run ("TPU worker process crashed"); a fresh
-        # subprocess reattaches and the compile cache makes the retry cheap
-        for attempt in (1, 2):
+        # subprocess reattaches and the compile cache makes retries cheap
+        for attempt in (1, 2, 3):
             try:
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
@@ -1056,8 +1056,14 @@ def main():
                       flush=True)
                 break
             except Exception as e:  # noqa: BLE001 — sections are independent
+                tail = ""
+                try:
+                    tail = out.stderr.decode(errors="replace")[-300:]
+                except Exception:  # noqa: BLE001
+                    pass
                 print(f"# {name} attempt {attempt} FAILED: "
-                      f"{type(e).__name__}: {e}", flush=True)
+                      f"{type(e).__name__}: {e} | stderr tail: {tail!r}",
+                      flush=True)
 
     value = extra.pop("ba_lm_iters_per_s_100cam_10kpts", None)
     baseline = extra.get("cpu_lm_iters_per_s_measured") or None

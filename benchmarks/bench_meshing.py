@@ -39,7 +39,7 @@ def run(n_points: int):
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(
         f"points={len(pts):>8d}  wall={t_cut:7.1f}s  faces={len(faces):>8d}  "
-        f"peak_rss={rss_gb:.1f} GB"
+        f"peak_rss={rss_gb:.1f} GB", flush=True
     )
     return t_cut, len(faces), rss_gb
 

@@ -95,3 +95,45 @@ def test_maxflow_grid_agrees_with_scipy():
     ).tocsr()
     ref = maximum_flow(g, S, T).flow_value
     assert abs(flow_native - ref) < 1e-6, (flow_native, ref)
+
+
+def test_maxflow_fuzz_vs_scipy():
+    """Dinic max-flow vs scipy.maximum_flow on 30 random terminal-capacity
+    graphs (flow-value equality; the previous Edmonds-Karp-with-restart
+    implementation was correct but O(paths x E) — ~13 min on a 316k-cell
+    meshing graph vs seconds now)."""
+    import numpy as np
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import maximum_flow
+
+    from alicevision_tpu import native
+
+    rng = np.random.RandomState(0)
+    for _ in range(30):
+        n = rng.randint(4, 40)
+        m = rng.randint(n, 4 * n)
+        eu = rng.randint(0, n, m)
+        ev = rng.randint(0, n, m)
+        keep = eu != ev
+        eu, ev = eu[keep], ev[keep]
+        cap = rng.randint(1, 10, len(eu)).astype(np.float64)
+        rev = rng.randint(0, 10, len(eu)).astype(np.float64)
+        t = rng.randint(-8, 9, n).astype(np.float64)
+        f_ours, _ = native.maxflow(
+            n, eu.astype(np.int64), ev.astype(np.int64), cap, rev, t
+        )
+        S, T = n, n + 1
+        rows, cols, data = [], [], []
+        for i in range(len(eu)):
+            rows += [eu[i], ev[i]]
+            cols += [ev[i], eu[i]]
+            data += [int(cap[i]), int(rev[i])]
+        for i in range(n):
+            if t[i] > 0:
+                rows.append(S), cols.append(i), data.append(int(t[i]))
+            elif t[i] < 0:
+                rows.append(i), cols.append(T), data.append(int(-t[i]))
+        g = csr_matrix((data, (rows, cols)), shape=(n + 2, n + 2))
+        g.sum_duplicates()
+        f_ref = maximum_flow(g, S, T).flow_value
+        assert abs(f_ours - f_ref) < 1e-6
