@@ -226,26 +226,6 @@ def color_guided_optimize(
 # (volume_refineSimilarity_kernel) — same hypothesis set, rectified warping.
 
 
-def _warp_homography_nearest(img, Hmat, out_hw, fill=0.0):
-    """Nearest-neighbour homography warp (value-preserving, for depth/inv
-    maps where bilinear blending across discontinuities is wrong)."""
-    Ho, Wo = out_hw
-    H_im, W_im = img.shape
-    ys = jnp.arange(Ho, dtype=jnp.float32)
-    xs = jnp.arange(Wo, dtype=jnp.float32)
-    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-    p = jnp.stack([gx, gy, jnp.ones_like(gx)], -1)
-    q = jnp.einsum("ij,hwj->hwi", Hmat, p)
-    z = q[..., 2]
-    zs = jnp.where(jnp.abs(z) < _EPS, _EPS, z)
-    u = jnp.round(q[..., 0] / zs).astype(jnp.int32)
-    v = jnp.round(q[..., 1] / zs).astype(jnp.int32)
-    ok = (u >= 0) & (u < W_im) & (v >= 0) & (v < H_im) & (z > _EPS)
-    lin = jnp.clip(v, 0, H_im - 1) * W_im + jnp.clip(u, 0, W_im - 1)
-    vals = jnp.take(img.reshape(-1), lin.reshape(-1)).reshape(lin.shape)
-    return jnp.where(ok, vals, fill), ok
-
-
 def _disparity_bounds(K_ref, K_t, R_rel, t_rel, depth_range, rel_span, hw):
     """Host-side integer scan bounds for one pair: range of
     fx*B*(alpha u + beta v + gamma)*inv*(1 +- rel_span) over the image."""
