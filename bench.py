@@ -340,6 +340,40 @@ def bench_depth_maps():
             ))
             best = min(best, time.perf_counter() - t0)
         out[key] = round(1.0 / max(best - rtt, 1e-9), 3)
+
+    # the TILED large-image point (mvsUtils::TileParams mechanism): a
+    # 1920x1088 refine-scale view as overlapping 1024px tiles with Hann
+    # merge, full T-cam images per tile (SGM only — the tiling contract is
+    # the claim; seam parity is pinned by tests/test_tiled_stage.py)
+    from alicevision_tpu.mvs.sharded import sgm_depth_map_tiled
+
+    Ht, Wt = 1088, 1920
+    imgs_t, _, Kt_np, Rt_np, ct_np = render_views(
+        n_views=T + 1, wh=(Wt, Ht), focal_px=1800.0, arc=0.35
+    )
+    Rt_rel = np.stack(
+        [Rt_np[t] @ Rt_np[0].T for t in range(1, T + 1)]
+    ).astype(np.float32)
+    tt_rel = np.stack(
+        [Rt_np[t] @ (ct_np[0] - ct_np[t]) for t in range(1, T + 1)]
+    ).astype(np.float32)
+    Kt33 = np.tile(Kt_np[None].astype(np.float32), (T, 1, 1))
+    params_t = SgmParams(n_depths=128)
+
+    def run_tiled():
+        return sgm_depth_map_tiled(
+            imgs_t[0], imgs_t[1:], Kt_np.astype(np.float32), Kt33,
+            Rt_rel, tt_rel, d_rng[0], d_rng[1], params_t,
+            tile=1024, overlap=128,
+        )
+
+    run_tiled()  # compile + warm (per-tile programs)
+    t0 = time.perf_counter()
+    dmap = run_tiled()
+    out["sgm_tiled_1920x1088_maps_per_s"] = round(
+        1.0 / max(time.perf_counter() - t0, 1e-9), 3
+    )
+    assert dmap.shape == (Ht, Wt)
     return out
 
 
