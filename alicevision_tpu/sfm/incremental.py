@@ -396,16 +396,24 @@ class IncrementalSfM:
                 )
         if not cand:
             return []
-        # fixed batch width + power-of-two capacity: every resection group
+        # Batch width policy: on relay-attached backends every resection
+        # group pads to a FIXED width of 8 so the whole reconstruction
         # hits one XLA program per capacity bucket (padding a 1-view group
-        # to 8 costs microseconds on-chip; a second compile costs seconds
-        # through the relay). CHUNK=8 bounds the (B, n_hyps*4, cap)
-        # residual tensor.
+        # costs microseconds on-chip; a second compile/executable-load
+        # costs seconds through the relay). On the CPU backend compiles
+        # are cheap and padded lanes are REAL work (measured +20% on the
+        # 10-image CPU e2e), so pad only to the power-of-two bucket.
+        # CHUNK=8 bounds the (B, n_hyps*4, cap) residual tensor.
         posed = []
         CHUNK = 8
+        fixed_width = jax.default_backend() not in ("cpu",)
         for s in range(0, len(cand), CHUNK):
             chunk = cand[s : s + CHUNK]
-            B = CHUNK
+            B = (
+                CHUNK
+                if fixed_width
+                else 1 << int(np.ceil(np.log2(len(chunk))))
+            )
             cap = 1 << int(
                 np.ceil(np.log2(max(max(len(c[1]) for c in chunk), 32)))
             )
@@ -631,17 +639,27 @@ class IncrementalSfM:
         # edge undistortion (and thereby resection)
         n_obs_live = int(np.asarray(problem.obs_mask).sum())
         order = 1 if n_obs_live < 3000 else (2 if n_obs_live < 10000 else None)
-        # refine_pp / disto order are TRACED mask data, not static flags —
-        # every joint solve of a reconstruction shares one XLA program
-        # (three static variants previously cost one relay compile each)
         import alicevision_tpu.camera as _cam
 
-        mask = np.ones(4 + _cam.DISTO_PARAMS, np.float32)
-        if n_posed < 8:
-            mask[2:4] = 0.0
-        if order is not None:
-            mask[4 + order :] = 0.0
-        res = _ba_solve_joint_jit(problem, jnp.asarray(mask))
+        if jax.default_backend() in ("cpu",):
+            # CPU: compiles are cheap and the joint Schur's P^2 coupling
+            # planes are REAL work — keep the parameter block structurally
+            # small per phase (measured: the full-width masked block costs
+            # ~4x the plane products on host)
+            res = _ba_solve_joint_structural_jit(
+                problem, n_posed >= 8, order
+            )
+        else:
+            # relay backends: refine_pp / disto order are TRACED mask data,
+            # so every joint solve of a reconstruction shares one XLA
+            # program (three static variants previously cost one relay
+            # compile + executable load each)
+            mask = np.ones(4 + _cam.DISTO_PARAMS, np.float32)
+            if n_posed < 8:
+                mask[2:4] = 0.0
+            if order is not None:
+                mask[4 + order :] = 0.0
+            res = _ba_solve_joint_jit(problem, jnp.asarray(mask))
         self.intr_np = jax.tree_util.tree_map(np.asarray, res.intr)
         self.res.pose_R = np.asarray(
             geo.quat_to_mat(res.cam_q), np.float64
@@ -923,3 +941,17 @@ def _ba_solve_joint_jit_impl(problem, param_mask, loop):
 
 def _ba_solve_joint_jit(problem, param_mask):
     return _ba_solve_joint_jit_impl(problem, param_mask, _ba_loop_mode())
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _ba_solve_joint_structural_impl(problem, refine_pp, disto_max_order, loop):
+    return ba_mod.ba_solve_joint(
+        problem, max_iters=15, refine_pp=refine_pp,
+        disto_max_order=disto_max_order, loop=loop,
+    )
+
+
+def _ba_solve_joint_structural_jit(problem, refine_pp, disto_max_order):
+    return _ba_solve_joint_structural_impl(
+        problem, refine_pp, disto_max_order, _ba_loop_mode()
+    )
