@@ -14,20 +14,32 @@ only the chip differs). Both are reported separately in `extra`.
 
 `extra` carries the other BASELINE.md configs:
   * ba_pcg_iters_per_s_1024cam_300kpts — large-scene matrix-free PCG path
+    (warm-started CG at cg_iters=16; ba_pcg_cost_final_by_cg_iters is the
+    auditable quality curve)
   * sgm_refine_depth_maps_per_s       — SGM+Refine per-view throughput at
-    the reference operating point (scale 2 + stepXY 2 -> 480x270 volume,
-    D=256 depths, T=4 tcams; refine at 960x540 with halfNbDepths 15;
-    SgmParams.hpp:21-26, RefineParams.hpp:19-25)
-  * feature_extraction_images_per_s   — batched DSP-SIFT at 1024x768
+    the LITERAL reference operating point (scale 2 + stepXY 2 -> 480x272
+    volume, D=256, T=4; refine at 960x544 with the full RefineParams grid
+    — 301 hypotheses at 1/10-plane steps + 100 color-opt iterations, on
+    rendered box-world imagery; SgmParams.hpp:21-26, RefineParams.hpp
+    :19-25). sgm_refine_fast_two_stage_maps_per_s is the equivalent-
+    quality 31+21 two-stage mode; sgm_tiled_1920x1088_maps_per_s the
+    Hann-merged tiled large-image point
+  * feature_extraction_images_per_s   — batched DSP-SIFT at 1024x768, with
+    the identical-program host-CPU twin as the measured denominator
   * e2e_10img_wall_s                  — 10-image incremental SfM pipeline
     (cameraInit -> SIFT -> exhaustive match -> incremental SfM) on CPU jax
     per BASELINE config 1; steady-state (2nd in-process run)
-  * e2e_6img_wall_s_tpu (+ stage walls) — the same pipeline on the real
-    chip path; dispatch-bound on the relay (DESIGN.md 6d)
-  * hard_scene_ate_rel / rms_px       — the rendered GT benchmark (40
-    occluded views, unknown radial distortion, noise, outlier matches)
-  * ba_comms_table                    — collective bytes vs local FLOPs of
-    the compiled sharded BA at 1/2/4/8 shards (scaling proxy)
+  * e2e_6img_wall_s_tpu / e2e_10img_wall_s_tpu (+ stage walls) — the same
+    pipeline on the real chip path, steady-state (warm-up pass loads the
+    executables; DESIGN.md 6d/6e)
+  * hard_scene_* / hard_scene_img_*   — the rendered GT benchmark (40
+    occluded views, unknown radial distortion, noise, outlier matches):
+    synthetic-verified-matches variant AND the pixels->poses variant
+    through the real front end at 1280x960
+  * roofline                          — per-kernel achieved GFLOP/s + HBM
+    GB/s vs v5e peaks with compute/bandwidth/latency classification
+  * ba_comms_table / fusion_comms_table — collective bytes vs local FLOPs
+    of the compiled sharded BA and sharded depth FUSION at 1/2/4/8 shards
   * cpu_lm_iters_per_s_measured       — the measured baseline denominator
 """
 
