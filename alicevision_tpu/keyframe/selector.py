@@ -184,7 +184,11 @@ def select_keyframes_smart(
     max_out_frames: int | None = None,
     sharpness_window: int = 200,
     flow_cell: int = 16,
-    # legacy knobs kept for API compatibility (map to the same behavior)
+    # legacy knobs: sharp_window maps onto sharpness_window and
+    # motion_threshold onto the accumulation step; min_gap/max_gap have NO
+    # counterpart in the reference's smart selection and are IGNORED with a
+    # DeprecationWarning (KeyframeSelector.cpp:195-340 paces subsequences
+    # purely by accumulated motion).
     min_gap: int | None = None,
     max_gap: int | None = None,
     motion_threshold: float | None = None,
@@ -194,6 +198,18 @@ def select_keyframes_smart(
     (KeyframeSelector.cpp:195-340): motion-accumulated subsequence limits
     with +-0.5 step adaptation toward [minOutFrames, maxOutFrames], then
     the center-weighted sharpest frame per subsequence."""
+    import warnings
+
+    if min_gap is not None or max_gap is not None:
+        warnings.warn(
+            "min_gap/max_gap are not part of the reference smart selection "
+            "and are ignored; pace subsequences with px_displacement / "
+            "motion_threshold instead",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+    if sharp_window is not None:
+        sharpness_window = sharp_window
     n = len(frames)
     if n == 0:
         return np.zeros(0, np.int64)
@@ -241,14 +257,24 @@ def select_keyframes_smart(
     selected = []
     for i in range(1, len(limits)):
         lo, hi = limits[i - 1], limits[i]
-        size = max(hi - lo, 1)
-        # triangular weights in [1, 2], peak at the subsequence center
         idx = np.arange(lo, hi)
         if len(idx) == 0:
             idx = np.array([lo])
-        center = (lo + hi - 1) / 2.0
-        half = max((size - 1) / 2.0, 1e-9)
-        weights = 2.0 - np.abs(idx - center) / half
-        j = idx[int(np.argmax(sharp[idx] * weights))]
+        j = idx[int(np.argmax(sharp[idx] * _center_weights(len(idx))))]
         selected.append(int(j))
     return np.array(sorted(set(selected)), np.int64)
+
+
+def _center_weights(size: int) -> np.ndarray:
+    """The reference's deque-built center weights (KeyframeSelector.cpp
+    smart selection): 2.0 at the middle frame (odd size) or at BOTH middle
+    frames (even size), stepping outward by 2/(size-1) — so even sizes get
+    endpoints 1 + 1/(size-1), odd sizes exactly 1.0."""
+    if size <= 1:
+        return np.full(max(size, 1), 2.0)
+    pos = np.arange(size, dtype=np.float64)
+    if size % 2:
+        dist = np.abs(pos - (size - 1) / 2.0)
+    else:
+        dist = np.where(pos < size / 2, size / 2 - 1 - pos, pos - size / 2)
+    return 2.0 - dist * (2.0 / (size - 1))

@@ -489,21 +489,46 @@ def _select_offset_quadfit(sims, offsets, inv, rel_step, depth_base):
     rendered GT, with either scorer). Fitting one quadratic to ALL fine
     scores averages that noise and recovers the vertex the dense sweep's
     envelope defines. Used for the fine stage only; the coarse stage keeps
-    the argmax (its peak is well-resolved at plane steps)."""
+    the argmax (its peak is well-resolved at plane steps).
+
+    The fit is WEIGHTED by per-offset validity (masked lanes are clamped to
+    -1.0 by the scorers): pixels whose fine sweep leaves the rectified
+    target's valid interval would otherwise get a vertex biased toward the
+    clamped -1 lanes. With all lanes valid the weighted normal equations
+    reduce to the symmetric closed form."""
     n_tot = offsets.shape[0]
     k = offsets  # (n,)
-    # closed-form LS quadratic fit s ~ a k^2 + b k + c with fixed design;
-    # moments of the symmetric grid: S2 = sum k^2, S4 = sum k^4
-    S0 = jnp.float32(n_tot)
-    S2 = jnp.sum(k * k)
-    S4 = jnp.sum(k**4)
-    sk = jnp.einsum("n,nhw->hw", k, sims)
-    sk2 = jnp.einsum("n,nhw->hw", k * k, sims)
-    s0 = jnp.sum(sims, axis=0)
-    det = S4 * S0 - S2 * S2
-    a = (sk2 * S0 - s0 * S2) / det
-    b = sk / S2
-    vertex = jnp.where(a < -1e-8, -b / (2 * jnp.minimum(a, -1e-8)), 0.0)
+    # per-pixel weighted LS quadratic fit s ~ a k^2 + b k + c: solve the
+    # 3x3 normal equations with weights w = validity of each offset lane
+    w = (sims > -0.999).astype(sims.dtype)  # (n, h, w)
+    ks = [jnp.ones_like(k), k, k * k, k**3, k**4]
+    S = [jnp.einsum("n,nhw->hw", kp, w) for kp in ks]  # S0..S4
+    sw = sims * w
+    b0 = jnp.sum(sw, axis=0)
+    b1 = jnp.einsum("n,nhw->hw", k, sw)
+    b2 = jnp.einsum("n,nhw->hw", k * k, sw)
+    # cofactor solve of [[S4,S3,S2],[S3,S2,S1],[S2,S1,S0]] x = [b2,b1,b0]
+    S0_, S1, S2_, S3, S4_ = S
+    det = (
+        S4_ * (S2_ * S0_ - S1 * S1)
+        - S3 * (S3 * S0_ - S1 * S2_)
+        + S2_ * (S3 * S1 - S2_ * S2_)
+    )
+    det_s = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    a = (
+        b2 * (S2_ * S0_ - S1 * S1)
+        - S3 * (b1 * S0_ - b0 * S1)
+        + S2_ * (b1 * S1 - b0 * S2_)
+    ) / det_s
+    b = (
+        S4_ * (b1 * S0_ - b0 * S1)
+        - b2 * (S3 * S0_ - S1 * S2_)
+        + S2_ * (S3 * b0 - b1 * S2_)
+    ) / det_s
+    enough = (jnp.sum(w, axis=0) >= 3) & (jnp.abs(det) > 1e-12)
+    vertex = jnp.where(
+        enough & (a < -1e-8), -b / (2 * jnp.minimum(a, -1e-8)), 0.0
+    )
     off_star = jnp.clip(vertex, k[0], k[-1])
     inv_new = inv * (1.0 + off_star * rel_step)
     depth_new = 1.0 / jnp.maximum(inv_new, _EPS)
@@ -607,12 +632,20 @@ def refine_depth_map_auto(
         # argmax/parabola jitter otherwise roughens every fine-stage warp's
         # ZNCC window (measured +12% median GT error vs a smooth base);
         # the +-1-plane window comfortably covers the smoothing residual.
+        # The blur is MASK-NORMALIZED: invalid pixels (inv=0) must not be
+        # averaged in, or every valid pixel within the blur radius of a
+        # depth hole gets a base inflated past the +-1-plane fine window
+        # that the quadfit cannot recover from (measured 0.045 -> 0.62
+        # median error in the 2-px ring around a punched hole). Where the
+        # local valid weight is low the unsmoothed stage-1 depth is kept.
         inv1 = jnp.where(depth > 0, 1.0 / jnp.maximum(depth, _EPS), 0.0)
-        base = jnp.where(
-            depth > 0,
-            1.0 / jnp.maximum(gaussian_blur(inv1, 1.0), _EPS),
-            depth,
+        m = (depth > 0).astype(inv1.dtype)
+        wloc = gaussian_blur(m, 1.0)
+        inv_s = jnp.where(
+            wloc > 0.99, gaussian_blur(inv1, 1.0) / jnp.maximum(wloc, 1e-6),
+            inv1,
         )
+        base = jnp.where(depth > 0, 1.0 / jnp.maximum(inv_s, _EPS), depth)
         depth, sim = _refine_sweep(
             base, ref_img, t_imgs, K_ref, K_t, R_rel, t_rel,
             rel_step / n_subsamples, n_subsamples, sigma_window, plan,

@@ -103,9 +103,15 @@ def test_keyframe_selection():
     rng = np.random.RandomState(2)
     base = rng.rand(48, 48).astype(np.float32)
     frames = [np.roll(base, s, axis=1) for s in range(0, 40, 2)]
-    sel = select_keyframes_smart(frames, min_gap=2, motion_threshold=4.0)
+    sel = select_keyframes_smart(frames, motion_threshold=4.0)
     assert len(sel) >= 3
     assert sel[0] == 0
+    import warnings
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        select_keyframes_smart(frames[:4], min_gap=2, motion_threshold=4.0)
+    assert any(issubclass(w.category, DeprecationWarning) for w in rec)
 
 
 # --------------------------------------------------------------------------

@@ -97,3 +97,43 @@ def test_subsample_default_in_pipeline_stage():
 
     sig = inspect.signature(rf.refine_depth_map_auto)
     assert sig.parameters["n_subsamples"].default == 10
+
+
+def test_fine_stage_survives_depth_holes():
+    """Masked-normalized base smoothing (ADVICE r4): a hole punched in the
+    coarse map must not corrupt the valid pixels around it — without mask
+    normalization the blurred inverse depth near the hole is pulled toward
+    0, inflating the fine-stage base past the +-1-plane window."""
+    H, W, d_true = 96, 128, 5.0
+    ref, t_img, K, R_rel, t_rel = _pair_setup(
+        jax.random.PRNGKey(7), H, W, d_true
+    )
+    d0 = np.asarray(_coarse(H, W, d_true)).copy()
+    d0[40:56, 60:76] = -1.0  # punched hole
+    d0 = jnp.asarray(d0)
+    args = (d0, ref, t_img[None], K, K[None], R_rel[None], t_rel[None])
+    d_ref, _ = rf.refine_depth_map_auto(
+        *args, depth_range=(3.0, 9.0), n_offsets=15, n_subsamples=10
+    )
+    d_ref = np.asarray(d_ref)
+
+    ys, xs = np.mgrid[0:H, 0:W]
+    in_hole = (ys >= 40) & (ys < 56) & (xs >= 60) & (xs < 76)
+    ring = (
+        (ys >= 38) & (ys < 58) & (xs >= 58) & (xs < 78) & ~in_hole
+    )
+    far = np.zeros((H, W), bool)
+    far[12:28, 12:28] = True
+
+    # hole pixels stay invalid
+    assert (d_ref[in_hole] <= 0).all()
+    err_ring = np.median(np.abs(d_ref - d_true)[ring])
+    err_far = np.median(np.abs(d_ref - d_true)[far])
+    # the ring must refine like everywhere else, not blow past the window
+    assert err_ring < 3.0 * err_far + 0.02, (err_ring, err_far)
+    # worst ring pixel: pre-fix 2.75 (base inflated past the fine window);
+    # the residual is the hole's pollution of windowed ZNCC scores, which
+    # the selection is robust to at the median but not the max
+    assert np.max(np.abs(d_ref - d_true)[ring]) < 1.0, (
+        float(np.max(np.abs(d_ref - d_true)[ring]))
+    )
