@@ -14,6 +14,7 @@ from .rectified import (
 from .refine import color_guided_optimize, refine_depth_map
 from .fusion import (
     consistency_filter,
+    consistency_filter_ring,
     depth_range_from_landmarks,
     fuse_point_cloud,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "batched_sgm",
     "color_guided_optimize",
     "consistency_filter",
+    "consistency_filter_ring",
     "depth_range_from_landmarks",
     "fuse_point_cloud",
     "inverse_depth_planes",

@@ -11,6 +11,7 @@ host-side on the fused cloud.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -86,6 +87,60 @@ def consistency_filter(
             return ok & (o != r)
 
         counts = jnp.sum(jax.vmap(check)(jnp.arange(V)), axis=0)
+        valid = (depths[r] > 0) & (counts + 1 >= min_consistent)
+        return jnp.where(valid, depths[r], -1.0), counts
+
+    return jax.vmap(per_view)(jnp.arange(V))
+
+
+def _ring_offsets(V: int, k: int):
+    """Distinct ring-neighbour offsets ±1..±k_eff, capped so wraparound
+    never double-counts a view and never includes self. For even V at
+    k >= V/2 the antipodal view (+V/2 ≡ −V/2) is included exactly once,
+    so the window degenerates to the dense all-pairs set."""
+    k_pos = min(int(k), V // 2)
+    k_neg = k_pos if 2 * k_pos < V else k_pos - 1
+    return [o for o in range(-k_neg, k_pos + 1) if o != 0]
+
+
+@partial(jax.jit, static_argnames=("k", "min_consistent"))
+def consistency_filter_ring(
+    depths: jnp.ndarray,  # (V, H, W) per-view depth maps (<=0 = invalid)
+    K: jnp.ndarray,  # (V, 3, 3)
+    R: jnp.ndarray,  # (V, 3, 3) world->cam
+    c: jnp.ndarray,  # (V, 3)
+    k: int = 4,
+    min_consistent: int = 3,
+    rel_tol: float = 0.01,
+):
+    """`consistency_filter` restricted to a BOUNDED ring-neighbour set:
+    each view checks only the ±k adjacent views in capture order (with
+    wraparound), the same bounded consistency set the reference uses
+    (ref: src/aliceVision/fuseCut/Fuser.hpp:21-34 — each view is checked
+    against its chosen neighbour cameras, not all V).
+
+    This is the single-device parity reference for the multi-chip halo
+    filter (mvs/sharded.py): with view order = capture order the ring
+    window is the index-space proxy for the reference's covisibility
+    neighbour selection."""
+    V = depths.shape[0]
+    offs = jnp.asarray(_ring_offsets(V, k), jnp.int32)
+
+    def per_view(r):
+        Xw = backproject_depth_map(depths[r], K[r], R[r], c[r])
+
+        def check(off):
+            o = jnp.mod(r + off, V)
+            uv, z_proj = project_points(Xw, K[o], R[o], c[o])
+            d_other, inside = _sample_nearest(depths[o], uv, -1.0)
+            return (
+                inside
+                & (d_other > 0)
+                & (jnp.abs(d_other - z_proj) < rel_tol * z_proj)
+                & (z_proj > 0)
+            )
+
+        counts = jnp.sum(jax.vmap(check)(offs), axis=0)
         valid = (depths[r] > 0) & (counts + 1 >= min_consistent)
         return jnp.where(valid, depths[r], -1.0), counts
 

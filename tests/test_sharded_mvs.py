@@ -81,13 +81,14 @@ def test_tiled_sgm_matches_full():
 
 def test_sharded_consistency_filter_parity():
     """Multi-chip depth fusion (BASELINE config 5 second half): the
-    view-sharded consistency filter must equal the single-device filter
-    exactly — the all-gather of neighbour maps is layout, not math
-    (ref: fuseCut/Fuser.hpp:21-34)."""
+    view-sharded ring-halo filter must equal the single-device BOUNDED
+    filter exactly — the ppermute halo exchange is layout, not math
+    (ref: fuseCut/Fuser.hpp:21-34 bounds the consistency set the same
+    way)."""
     import jax
     import jax.numpy as jnp
 
-    from alicevision_tpu.mvs.fusion import consistency_filter
+    from alicevision_tpu.mvs.fusion import consistency_filter_ring
     from alicevision_tpu.mvs.sharded import make_sharded_consistency_filter
     from alicevision_tpu.parallel.mesh import make_mesh
 
@@ -111,36 +112,71 @@ def test_sharded_consistency_filter_parity():
     ])
     c = np.stack([np.array([0.2 * v, 0, 0], np.float32) for v in range(V)])
 
-    mesh = make_mesh(n_view=8, n_landmark=1, devices=jax.devices()[:8])
-    fuse = make_sharded_consistency_filter(mesh)
-    fs, cnt_s = fuse(jnp.asarray(depths), jnp.asarray(K), jnp.asarray(R),
-                     jnp.asarray(c))
-    f1, cnt_1 = consistency_filter(
-        jax.device_put(depths, jax.devices()[0]), jnp.asarray(K),
-        jnp.asarray(R), jnp.asarray(c),
+    # both shard layouts: 8 one-view shards (halo > local block, chained
+    # permutes) and 2 four-view shards (sliced boundary permute)
+    for n_sh in (8, 2):
+        mesh = make_mesh(n_view=n_sh, n_landmark=1,
+                         devices=jax.devices()[:n_sh])
+        fuse = make_sharded_consistency_filter(mesh, k=3)
+        fs, cnt_s = fuse(jnp.asarray(depths), jnp.asarray(K),
+                         jnp.asarray(R), jnp.asarray(c))
+        f1, cnt_1 = consistency_filter_ring(
+            jax.device_put(depths, jax.devices()[0]), jnp.asarray(K),
+            jnp.asarray(R), jnp.asarray(c), k=3,
+        )
+        assert np.allclose(np.asarray(fs), np.asarray(f1))
+        assert np.array_equal(np.asarray(cnt_s), np.asarray(cnt_1))
+        fs = np.asarray(fs)
+        assert (fs > 0).mean() > 0.5  # the consistent plane survives
+        assert (fs[0, :, :] > 0).mean() < 1.0  # outlier patches rejected
+
+
+def test_ring_filter_matches_dense_when_window_covers_all():
+    """With 2k+1 >= V the bounded ring filter degenerates to the dense
+    all-pairs filter — same counts, same output."""
+    from alicevision_tpu.mvs.fusion import (
+        consistency_filter,
+        consistency_filter_ring,
     )
-    assert np.allclose(np.asarray(fs), np.asarray(f1))
-    assert np.array_equal(np.asarray(cnt_s), np.asarray(cnt_1))
-    fs = np.asarray(fs)
-    assert (fs > 0).mean() > 0.5  # the consistent plane survives
-    assert (fs[0, :, :] > 0).mean() < 1.0  # outlier patches rejected
+
+    V, H, W = 6, 32, 40
+    rng = np.random.RandomState(1)
+    depths = (4.0 + rng.rand(V, H, W)).astype(np.float32)
+    K = np.tile(np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]],
+                         np.float32), (V, 1, 1))
+    ang = np.linspace(0, 0.1, V)
+    R = np.stack([
+        np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                  [-np.sin(a), 0, np.cos(a)]], np.float32) for a in ang])
+    c = np.stack([np.array([0.1 * v, 0, 0], np.float32) for v in range(V)])
+    fd, cd = consistency_filter(jnp.asarray(depths), jnp.asarray(K),
+                                jnp.asarray(R), jnp.asarray(c))
+    fr, cr = consistency_filter_ring(jnp.asarray(depths), jnp.asarray(K),
+                                     jnp.asarray(R), jnp.asarray(c), k=5)
+    assert np.array_equal(np.asarray(cd), np.asarray(cr))
+    assert np.allclose(np.asarray(fd), np.asarray(fr))
 
 
-def test_fusion_comms_table_all_gather_scaling():
-    """The fusion collective is ONE tiled all-gather of the (V, H, W)
-    stack: gathered bytes stay ~constant as shards grow (weak-scaling-
-    friendly), and per-shard FLOPs drop ~linearly."""
+def test_fusion_comms_table_halo_scaling():
+    """The ring-halo collective moves 2·k boundary maps per shard —
+    independent of the shard count — and the projected ICI efficiency at
+    the realistic V=32 operating point clears BASELINE's ≥0.8 bar at
+    8 shards (the all-gather design measured 0.42 in BENCH_r04)."""
     from alicevision_tpu.parallel.comms_report import fusion_comms_table
 
-    rows = fusion_comms_table(shard_counts=(1, 2, 4, 8), V=8, hw=(48, 64))
+    V, H, W, k = 32, 96, 128, 4
+    rows = fusion_comms_table(shard_counts=(1, 2, 4, 8), V=V, hw=(H, W), k=k)
     by_n = {r["shards"]: r for r in rows}
     assert 1 in by_n and 8 in by_n
     assert by_n[1]["collective_bytes"] == 0
-    assert by_n[8]["collective_bytes"] > 0
-    assert "all-gather" in by_n[8]["by_kind"]
-    # the gather moves at most ~2x the full depth stack regardless of shard
-    # count (all-gather output is the same (V, H, W) everywhere)
-    stack_bytes = 8 * 48 * 64 * 4
+    halo_bytes = 2 * k * H * W * 4
     for n in (2, 4, 8):
-        if n in by_n:
-            assert by_n[n]["collective_bytes"] <= 4 * stack_bytes
+        assert "collective-permute" in by_n[n]["by_kind"]
+        assert "all-gather" not in by_n[n]["by_kind"]
+        # per-shard halo ≈ 2k maps (XLA may pad/fuse slightly)
+        assert by_n[n]["collective_bytes"] <= 1.25 * halo_bytes, by_n[n]
+    # efficiency model at the full 272x480 operating point is checked in
+    # bench; here assert the structural invariant that makes it hold:
+    # bytes constant while per-shard flops shrink
+    assert by_n[8]["collective_bytes"] <= by_n[2]["collective_bytes"] * 1.01
+    assert by_n[8]["flops_per_shard"] < 0.5 * by_n[2]["flops_per_shard"]
