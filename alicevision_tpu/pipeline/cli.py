@@ -953,18 +953,29 @@ def _dispatch_inner(args) -> int:
         from ..image.io import read_image
         from ..keyframe import select_keyframes_regular, select_keyframes_smart
 
-        files = sorted(
-            f for f in os.listdir(args.inputFolder)
-            if f.lower().endswith((".jpg", ".png", ".jpeg", ".npy"))
-        )
-        if args.method == "regular":
-            sel = select_keyframes_regular(len(files), args.step)
-        else:
-            frames = [
+        if os.path.isdir(args.inputFolder):
+            files = sorted(
+                f for f in os.listdir(args.inputFolder)
+                if f.lower().endswith((".jpg", ".png", ".jpeg", ".npy"))
+            )
+            load = lambda: [  # noqa: E731
                 read_image(os.path.join(args.inputFolder, f), grayscale=True)
                 for f in files
             ]
-            sel = select_keyframes_smart(frames)
+        else:
+            # video input (the reference's mediaPaths accept videos too,
+            # ref: dataio/VideoFeed.cpp behind main_keyframeSelection.cpp)
+            from ..image.feeds import video_feed
+
+            frames_v, files = [], []
+            for img, idx in video_feed(args.inputFolder, grayscale=True):
+                frames_v.append(np.asarray(img))
+                files.append(f"frame_{idx:06d}")
+            load = lambda: frames_v  # noqa: E731
+        if args.method == "regular":
+            sel = select_keyframes_regular(len(files), args.step)
+        else:
+            sel = select_keyframes_smart(load())
         with open(args.output, "w") as f:
             for i in sel:
                 f.write(files[i] + "\n")
