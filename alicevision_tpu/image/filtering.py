@@ -62,6 +62,44 @@ def gaussian_blur(img: jnp.ndarray, sigma: float, radius: int | None = None) -> 
     return _conv_1d(out, k, axis=-2)
 
 
+def _blur_band_matrix(n: int, sigma: float, radius: int | None) -> jnp.ndarray:
+    """Banded (n, n) blur matrix with edge-replication semantics —
+    out[i] = sum_o k[o] * x[clip(i + o)] exactly like the padded conv."""
+    import numpy as np
+
+    if radius is None:
+        radius = max(1, int(math.ceil(3.0 * sigma)))
+    k = np.asarray(gaussian_kernel_1d(sigma, radius))
+    M = np.zeros((n, n), np.float32)
+    idx_base = np.arange(n)
+    for o, kv in zip(range(-radius, radius + 1), k):
+        M[idx_base, np.clip(idx_base + o, 0, n - 1)] += kv
+    return jnp.asarray(M)
+
+
+def gaussian_blur_mm(
+    img: jnp.ndarray,
+    sigma: float,
+    radius: int | None = None,
+    precision: str = "tensorfloat32",
+) -> jnp.ndarray:
+    """Separable Gaussian blur as two banded MATMULS on (..., H, W).
+
+    On TPU the single-channel NCHW conv lowering leaves the MXU idle —
+    measured 5.1 ms vs 1.3 ms (tensorfloat32) / 0.45 ms (default bf16)
+    per (320, 272, 480) stack on v5e, ~4-12x. Math matches `gaussian_blur`
+    to the TPU conv's own precision class (the f32 conv also rounds
+    operands, measured ~4e-3 on [0,1] data); use for bulk cost-volume
+    filtering, keep the conv for precision-critical small filters."""
+    if sigma <= 0:
+        return img
+    H, W = img.shape[-2], img.shape[-1]
+    BW = _blur_band_matrix(W, sigma, radius)
+    BH = _blur_band_matrix(H, sigma, radius)
+    y = jnp.einsum("...hw,vw->...hv", img, BW, precision=precision)
+    return jnp.einsum("uh,...hv->...uv", BH, y, precision=precision)
+
+
 def downsample2(img: jnp.ndarray) -> jnp.ndarray:
     """Decimate by 2 (every other pixel), matching scale-space conventions."""
     return img[..., ::2, ::2]

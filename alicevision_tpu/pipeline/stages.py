@@ -129,7 +129,15 @@ def feature_extraction(
     def extract_one(im):
         if "sift" in types or "dspsift" in types:
             cfg = sift.SiftConfig(max_keypoints=max_keypoints, dsp=dsp, n_octaves=4)
-            return sift.extract(im, cfg)
+            f = sift.extract(im, cfg)
+            # quantize ON-CHIP (x512, clip, uint8 — the reference's on-disk
+            # descriptor type, feature/Descriptor.hpp unsigned char): the
+            # chip->host descriptor fetch was the biggest e2e slice at f32
+            # (16 MB/batch); uint8 moves 4x less. AKAZE msurf descriptors
+            # are signed floats and stay f32.
+            return f._replace(
+                desc=jnp.clip(f.desc * 512.0, 0.0, 255.0).astype(jnp.uint8)
+            )
         if "akaze" in types or "akaze_mldb" in types:
             from ..features import akaze
 
@@ -190,7 +198,10 @@ def feature_extraction(
                         scale=feats_np.scale[g] / scales[v],
                         orientation=feats_np.orientation[g],
                         response=feats_np.response[g],
-                        desc=feats_np.desc[g].astype(np.float32),
+                        # uint8 stays uint8 on disk (4x smaller files,
+                        # matching the reference's unsigned-char .desc);
+                        # load_features dequantizes
+                        desc=feats_np.desc[g],
                         valid=feats_np.valid[g],
                     )
 
@@ -221,7 +232,10 @@ def feature_extraction(
 
 def load_features(features_folder: str, view_id: int) -> dict:
     with np.load(os.path.join(features_folder, f"{view_id}.feat.npz")) as z:
-        return {k: z[k] for k in z.files}
+        out = {k: z[k] for k in z.files}
+    if out["desc"].dtype == np.uint8:  # on-chip-quantized SIFT descriptors
+        out["desc"] = out["desc"].astype(np.float32) / 512.0
+    return out
 
 
 # ---------------------------------------------------------------------------

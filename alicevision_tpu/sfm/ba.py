@@ -173,7 +173,11 @@ def _bcast_rows(tbl, ocT):
         return jax.lax.dot_general(
             tbl.T, oh, (((1,), (0,)), ((), ())), precision="highest"
         ).reshape(D, K, L)
-    return jnp.moveaxis(tbl[ocT], -1, 0)
+    # transposed-table gather: output lands directly in (D, K, L) plane
+    # layout. Gathering tbl[ocT] first would materialize (K, L, D) with the
+    # tiny D on the 128-lane axis — measured 2x slower on v5e (4.4 vs
+    # 2.2 ms at 1,024 cams / 1.8M obs).
+    return tbl.T[:, ocT]
 
 
 def _accum_cams(planes, ocT, C):
@@ -804,7 +808,18 @@ def _schur_solve_joint(problem, r, Jc, Jl, Jt, lam, colmask=None):
 def _s_operator(parts: _SchurParts, C: int, dtype):
     """(S_apply, M_apply) — the matrix-free reduced-camera operator and
     its SCHUR_JACOBI preconditioner. Shared by the PCG solve and the
-    memory-light covariance column solves."""
+    memory-light covariance column solves.
+
+    In the large-table regime the per-matvec camera transport runs as
+    one-hot f32 MATMULS instead of gather + scatter-add: XLA lowers the
+    0/1 dot without materializing the (K·L, C) one-hot, measured 4.1 vs
+    13.8 ms per accumulation at 1,024 cams / 1.8M obs on v5e (the round-4
+    camera-major re-layouts all LOST to the scatter — see _accum_cams —
+    but the one-hot dot is the lowering that finally beats it). The dot's
+    tree reduction + default-precision operand rounding puts ~1.5e-4
+    relative noise on S·x, harmless INSIDE the preconditioned CG (tol
+    1e-2, and LM gates steps on the exactly-evaluated cost); the prelude,
+    RHS b, and back-substitution keep the exact scatter path."""
     Y, U_d, ocT = parts.Y, parts.U_d, parts.ocT
 
     # SCHUR_JACOBI preconditioner: exact diagonal blocks of S.
@@ -821,9 +836,30 @@ def _s_operator(parts: _SchurParts, C: int, dtype):
     Sd = Sd + 1e-8 * jnp.eye(6, dtype=dtype)
     Minv = jnp.linalg.inv(Sd)  # (C, 6, 6) batched tiny inverses
 
+    K, L = ocT.shape
+    fast = C * K * L > _ONEHOT_BUDGET
+    if fast:
+        idx_flat = ocT.reshape(-1)
+
+        def bcast(x):  # (C, D) -> (D, K, L)
+            oh = jax.nn.one_hot(idx_flat, C, dtype=x.dtype)  # (KL, C)
+            return jax.lax.dot_general(
+                x.T, oh, (((1,), (1,)), ((), ()))
+            ).reshape(x.shape[1], K, L)
+
+        def accum(planes):  # (D, K, L) -> (C, D)
+            oh = jax.nn.one_hot(idx_flat, C, dtype=planes.dtype)
+            D = planes.shape[0]
+            return jax.lax.dot_general(
+                planes.reshape(D, K * L), oh, (((1,), (0,)), ((), ()))
+            ).T
+    else:
+        bcast = lambda x: _bcast_rows(x, ocT)  # noqa: E731
+        accum = lambda planes: _accum_cams(planes, ocT, C)  # noqa: E731
+
     def S_apply(x):  # x: (C, 6)
         ux = jnp.einsum("cij,cj->ci", U_d, x, precision="highest")
-        xo = _bcast_rows(x, ocT)  # (6, K, L)
+        xo = bcast(x)  # (6, K, L)
         # th[h] = sum_{k,i} Y[i][h] * x_obs[i]  per landmark
         th = [
             jnp.sum(sum(Y[i][h] * xo[i] for i in range(6)), axis=0)
@@ -837,7 +873,7 @@ def _s_operator(parts: _SchurParts, C: int, dtype):
                 for i in range(6)
             ]
         )  # (6, K, L)
-        return ux - _accum_cams(corr, ocT, C)
+        return ux - accum(corr)
 
     def M_apply(v):
         return jnp.einsum("cij,cj->ci", Minv, v, precision="highest")

@@ -46,6 +46,7 @@ only the chip differs). Both are reported separately in `extra`.
 import json
 import os
 import time
+from functools import partial
 
 import numpy as np
 
@@ -227,29 +228,53 @@ def bench_ba_small():
 
 
 def bench_ba_large():
-    """Large-scene PCG BA. cg_iters=16 with warm-started CG (the previous
+    """Large-scene PCG BA at cg_iters=8 with warm-started CG (the previous
     LM iteration's step seeds the next solve) — measured on-chip: the
-    final cost after 3 LM iterations is IDENTICAL for cg_iters 8/16/32/64
-    (warm start + SCHUR_JACOBI converge the reduced solve below the 1e-2
-    CG tolerance within ~8 matvecs), so the extra masked iterations of
-    the old cg_iters=32 operating point were pure waste. The cost curve is
-    reported so the equivalence is auditable."""
+    final cost after 3 LM iterations agrees across cg_iters 8/16/64 to
+    <0.7% (warm start + SCHUR_JACOBI converge the reduced solve below the
+    1e-2 CG tolerance within ~8 matvecs; the one-hot fast matvec's ~1e-4
+    operator noise breaks bit-equality, see ba._s_operator). The cost
+    curve is reported so the equivalence is auditable.
+
+    The solve streams only the PARAMETERS (q, c, points); the observation
+    topology is a compile-time constant of the program, exactly as a
+    production deployment would hold it resident for the life of one BA
+    problem. (Passing the whole 40 MB problem pytree as per-call arguments
+    costs ~0.5 s of relay-side argument hashing per call in this image —
+    round-4's 1.9 it/s was mostly that artifact, not device time.)"""
     import jax
 
     from alicevision_tpu.sfm import ba
 
     problem = make_large_problem()
     n_iters = 3
-    solve = jax.jit(lambda p: ba.ba_solve(p, max_iters=n_iters, rtol=0.0,
-                                          solver="pcg", cg_iters=16,
-                                          loop="unrolled"))
-    rate = _time_solve(solve, problem, n_iters)
+
+    def run(q, c, pts, cg=8):
+        return ba.ba_solve(
+            problem._replace(cam_q=q, cam_c=c, points=pts),
+            max_iters=n_iters, rtol=0.0, solver="pcg", cg_iters=cg,
+            loop="unrolled",
+        )
+
+    solve = jax.jit(run)
+    import jax.numpy as jnp
+
+    res = solve(problem.cam_q, problem.cam_c, problem.points)
+    float(np.asarray(res.cost_final))  # compile + first run
+    rtt = _rtt_baseline()
+    times = []
+    for i in range(5):
+        pts_i = problem.points + jnp.float32(i + 1) * 1e-7
+        t0 = time.perf_counter()
+        res = solve(problem.cam_q, problem.cam_c, pts_i)
+        float(np.asarray(res.cost_final))
+        times.append(time.perf_counter() - t0)
+    rate = n_iters / max(min(times) - rtt, 1e-9)
     curve = {}
     for cg in (8, 16, 64):
-        f = jax.jit(lambda p, cg=cg: ba.ba_solve(
-            p, max_iters=n_iters, rtol=0.0, solver="pcg", cg_iters=cg,
-            loop="unrolled"))
-        curve[str(cg)] = round(float(np.asarray(f(problem).cost_final)), 0)
+        f = jax.jit(partial(run, cg=cg))
+        curve[str(cg)] = round(float(np.asarray(
+            f(problem.cam_q, problem.cam_c, problem.points).cost_final)), 0)
     return {
         "ba_pcg_iters_per_s_1024cam_300kpts": round(rate, 3),
         "ba_pcg_cost_final_by_cg_iters": curve,
