@@ -69,7 +69,9 @@ def _blur_band_matrix(n: int, sigma: float, radius: int | None) -> jnp.ndarray:
 
     if radius is None:
         radius = max(1, int(math.ceil(3.0 * sigma)))
-    k = np.asarray(gaussian_kernel_1d(sigma, radius))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k = (k / k.sum()).astype(np.float32)
     M = np.zeros((n, n), np.float32)
     idx_base = np.arange(n)
     for o, kv in zip(range(-radius, radius + 1), k):

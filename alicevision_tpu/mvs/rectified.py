@@ -82,19 +82,48 @@ def rectification_ok(R_rel: np.ndarray, t_rel: np.ndarray, max_axial: float = 0.
     return abs(c2[2]) / n < max_axial
 
 
+def _inv_rdft_matrices(K: int, Wp: int):
+    """Real inverse-rDFT matrix pair stacked as (2K, Wp): x = [Gr|Gi] @ CS.
+
+    Implements exactly what irfft computes for an (..., K) spectrum of an
+    even-length real signal: x[u] = sum_k coef_k (Gr_k cos(2 pi k u / Wp)
+    - Gi_k sin(...)), coef = 2/Wp except 1/Wp at DC and Nyquist."""
+    k = np.arange(K)
+    u = np.arange(Wp)
+    ang = 2.0 * np.pi * np.outer(k, u) / Wp
+    coef = np.full(K, 2.0 / Wp)
+    coef[0] = 1.0 / Wp
+    coef[-1] = 1.0 / Wp
+    C = (coef[:, None] * np.cos(ang)).astype(np.float32)
+    S = (-coef[:, None] * np.sin(ang)).astype(np.float32)
+    return np.concatenate([C, S], axis=0)
+
+
 def _shift_scale_rows(img_f, a, b_rows, W_out):
     """Evaluate f(a * u + b_v) for every row v, gather-free.
 
     img_f: (H, K) precomputed rfft of zero-padded rows (pad width Wp).
     a: scalar per plane; b_rows: (H,) per-row shifts; W_out: output width.
     Returns (H, W_out).
-    """
+
+    The inverse transform runs as a real DFT MATMUL on the MXU rather
+    than jnp.fft.irfft — XLA's TPU FFT is the measured wall of the whole
+    sweep (14.0 vs 2.0 ms per 256-plane tcam at 272x480 on v5e); the
+    (2K, Wp) DFT matrix is a shared constant across all planes/tcams.
+    tensorfloat32 keeps the evaluation in the pipeline's existing
+    default-matmul precision class (max |diff| vs irfft ~8e-3, the same
+    class as the banded rescale both paths already use)."""
     H, K = img_f.shape
     Wp = 2 * (K - 1)
     k = jnp.arange(K, dtype=jnp.float32)
     # shift theorem: (S_b f)(x) = f(x + b)  <=>  F[k] *= exp(+2i pi k b / Wp)
     phase = jnp.exp(2j * jnp.pi * k[None, :] * (b_rows[:, None] / Wp))
-    shifted = jnp.fft.irfft(img_f * phase, n=Wp, axis=-1)  # (H, Wp)
+    G = img_f * phase
+    CS = jnp.asarray(_inv_rdft_matrices(K, Wp))
+    shifted = jnp.dot(
+        jnp.concatenate([G.real, G.imag], axis=-1), CS,
+        precision="tensorfloat32",
+    )  # (H, Wp)
     # plane-constant rescale: out[u] = shifted[a * u], linear interpolation
     # as one banded (W_out, Wp) matrix -> a single matmul over all rows.
     u_out = jnp.arange(W_out, dtype=jnp.float32)
@@ -196,10 +225,13 @@ def pair_similarity_rectified(
     # per-pair hoisted reference moments (full support — the clamped-
     # texture convention of the CUDA patch reads, Patch.cuh
     # compNCCby3DptsYK); per plane only the warp-side moments remain,
-    # fused into ONE stacked convolution (5 blurs in one conv call
-    # instead of 6 separate ones — the ZNCC was the measured majority of
-    # the whole sweep at 256 planes)
-    from ..image.filtering import gaussian_blur
+    # fused into ONE stacked blur (5 channels in one call — the ZNCC was
+    # the measured majority of the whole sweep at 256 planes). The bulk
+    # (5·chunk, H, W) stacks blur via banded MATMULS (gaussian_blur_mm):
+    # the single-channel conv lowering leaves the MXU idle — measured
+    # 82 -> 21 ms for the full 16-chunk-stack load at 272x480, D=256, T=4
+    # on v5e, within the TPU conv's own ~4e-3 precision class.
+    from ..image.filtering import gaussian_blur_mm as gaussian_blur
 
     blur = lambda x: gaussian_blur(x, params.sigma_window)  # noqa: E731
     mr = blur(ref_rect)

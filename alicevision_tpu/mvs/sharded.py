@@ -34,20 +34,29 @@ def batched_sgm(
     t_rel: jnp.ndarray,  # (B, T, 3)
     depths: jnp.ndarray,  # (B, D) per-view plane lists
     params: SgmParams = SgmParams(),
+    tc_depth_ranges: jnp.ndarray | None = None,  # (B, T, 2) optional
 ):
     """vmap of the full SGM pipeline over a batch of reference views."""
 
-    def one(ref, ts, Kr, Kt, Rr, tr, ds):
+    def one(ref, ts, Kr, Kt, Rr, tr, ds, tc):
         # under vmap the host-side rectifiability gate is unavailable:
         # "auto" falls back to the gather sweep; pass method="rectified"
         # (after gating the batch on the host) for the fast path.
         from .rectified import similarity_volume_auto
 
-        cost = similarity_volume_auto(ref, ts, Kr, Kt, Rr, tr, ds, params)
+        cost = similarity_volume_auto(
+            ref, ts, Kr, Kt, Rr, tr, ds, params, tc_depth_ranges=tc
+        )
         agg = sgm_aggregate(cost, ref, params)
         return retrieve_best_depth(agg, ds)
 
-    return jax.vmap(one)(ref_imgs, t_imgs, K_ref, K_t, R_rel, t_rel, depths)
+    if tc_depth_ranges is None:
+        return jax.vmap(
+            lambda *a: one(*a, None)
+        )(ref_imgs, t_imgs, K_ref, K_t, R_rel, t_rel, depths)
+    return jax.vmap(one)(
+        ref_imgs, t_imgs, K_ref, K_t, R_rel, t_rel, depths, tc_depth_ranges
+    )
 
 
 def make_sharded_sgm(mesh: Mesh, params: SgmParams = SgmParams()):
@@ -179,15 +188,43 @@ def make_sharded_consistency_filter(
 # ---------------------------------------------------------------------------
 
 
-def make_tiles(H: int, W: int, tile: int = 512, overlap: int = 64):
+@partial(jax.jit, static_argnames=("params",))
+def _tile_sgm_jit(crop, t_imgs, Kc, K_t, R_rel, t_rel, depths, params):
+    """Module-level jitted per-tile SGM (shared across calls/views so the
+    compiled executable is traced and loaded ONCE per tile shape)."""
+    from .plane_sweep import sgm_depth_map
+
+    # d_min/d_max are unused when an explicit plane list is given
+    return sgm_depth_map(
+        crop, t_imgs, Kc, K_t, R_rel, t_rel, 1.0, 2.0, params, depths=depths
+    )
+
+
+_batched_sgm_jit = jax.jit(batched_sgm, static_argnames=("params",))
+
+
+def make_tiles(H: int, W: int, tile: int = 512, overlap: int = 64,
+               clamp: bool = False):
     """Tile ROIs covering (H, W) with the given overlap
-    (mvsUtils::TileParams contract)."""
+    (mvsUtils::TileParams contract).
+
+    With `clamp=True` the last tile of each axis is shifted to END at the
+    image boundary instead of being cropped, so every tile has the same
+    (tile, tile) shape when the image is at least tile-sized — the
+    uniform batch the vmapped tile sweep needs (the reference batches
+    same-size tiles to fill the device the same way,
+    ref: depthMap/DepthMapEstimator.cpp:238-270)."""
     step = tile - overlap
-    rois = []
-    for y0 in range(0, max(H - overlap, 1), step):
-        for x0 in range(0, max(W - overlap, 1), step):
-            rois.append((y0, min(y0 + tile, H), x0, min(x0 + tile, W)))
-    return rois
+    ys = list(range(0, max(H - overlap, 1), step))
+    xs = list(range(0, max(W - overlap, 1), step))
+    if clamp:
+        ys = sorted({min(y, max(H - tile, 0)) for y in ys})
+        xs = sorted({min(x, max(W - tile, 0)) for x in xs})
+    return [
+        (y0, min(y0 + tile, H), x0, min(x0 + tile, W))
+        for y0 in ys
+        for x0 in xs
+    ]
 
 
 def merge_tiles(
@@ -222,31 +259,92 @@ def sgm_depth_map_tiled(
     params: SgmParams = SgmParams(),
     tile: int = 512,
     overlap: int = 64,
+    tile_batch: int = 1,
 ):
     """Tiled SGM for images too large for one VMEM-friendly volume.
 
     Each tile gets a cropped reference (principal point shifted) while
     T-cams stay full — the homography warp indexes them globally.
-    """
-    from .plane_sweep import sgm_depth_map
+
+    Tiles are CLAMPED to uniform (tile, tile) shape (the last tile of each
+    axis ends at the boundary), so a 1920x1088 view needs 4 tiles instead
+    of 6 cropped ones and EVERY tile runs the same compiled program — one
+    jit, N executions (the reference batches same-size tiles to fill the
+    device the same way, ref: depthMap/DepthMapEstimator.cpp:238-270).
+    The per-pair rectifiability gate runs ONCE on the host (poses are
+    tile-invariant), so the whole per-tile sweep composes under one jit —
+    eager per-tile composition on the axon relay measured ~18 s/tile for
+    a 1.0 s/tile program.
+
+    `tile_batch` > 1 additionally vmaps several tiles into one dispatch —
+    MEASURED NEGATIVE at the 1024^2 x D128 x T4 point on v5e: B=4
+    exhausts HBM outright and B=2 pages (13.7 s per tile-pair vs 1.0
+    s/tile unbatched — the batched (B, D, H, W) volumes plus aggregation
+    temps overflow the 16 GB HBM). Keep 1 for >=768^2 tiles; small tiles
+    can batch."""
+    from .plane_sweep import inverse_depth_planes, sgm_depth_map
+    from .rectified import rectification_ok
 
     H, W = ref_img.shape
-    rois = make_tiles(H, W, tile, overlap)
+    rois = make_tiles(H, W, tile, overlap, clamp=True)
+    shapes = {(y1 - y0, x1 - x0) for (y0, y1, x0, x1) in rois}
+
+    ok = all(
+        rectification_ok(np.asarray(R_rel)[t], np.asarray(t_rel)[t])
+        for t in range(np.asarray(R_rel).shape[0])
+    )
+    params_b = params._replace(method="rectified" if ok else "gather")
+    depths = np.asarray(
+        inverse_depth_planes(d_min, d_max, params.n_depths), np.float32
+    )
+    t_j = jnp.asarray(t_imgs, jnp.float32)
+    Kt_j = jnp.asarray(K_t, jnp.float32)
+    R_j = jnp.asarray(R_rel, jnp.float32)
+    tr_j = jnp.asarray(t_rel, jnp.float32)
+    d_j = jnp.asarray(depths)
+
+    if len(shapes) > 1 or len(rois) == 1 or tile_batch <= 1:
+        # one compiled per-tile program (module-level jit: a fresh wrapper
+        # per call would re-trace and RE-LOAD the executable every view —
+        # measured 8.6 vs 1.25 s/tile on the axon relay), executed per ROI
+        out_tiles = []
+        for (y0, y1, x0, x1) in rois:
+            K_crop = np.asarray(K_ref, np.float32).copy()
+            K_crop[0, 2] -= x0
+            K_crop[1, 2] -= y0
+            depth, _ = _tile_sgm_jit(
+                jnp.asarray(ref_img[y0:y1, x0:x1], jnp.float32),
+                t_j,
+                jnp.asarray(K_crop),
+                Kt_j, R_j, tr_j, d_j,
+                params_b,
+            )
+            out_tiles.append(((y0, y1, x0, x1), np.asarray(depth)))
+        return merge_tiles(out_tiles, H, W)
+
+    # uniform tiles -> vmapped batched dispatches (small tiles only)
+    batched = partial(_batched_sgm_jit, params=params_b)
     out_tiles = []
-    for (y0, y1, x0, x1) in rois:
-        K_crop = K_ref.copy()
-        K_crop[0, 2] -= x0
-        K_crop[1, 2] -= y0
-        depth, sim = sgm_depth_map(
-            jnp.asarray(ref_img[y0:y1, x0:x1]),
-            jnp.asarray(t_imgs),
-            jnp.asarray(K_crop, jnp.float32),
-            jnp.asarray(K_t, jnp.float32),
-            jnp.asarray(R_rel, jnp.float32),
-            jnp.asarray(t_rel, jnp.float32),
-            d_min,
-            d_max,
-            params,
+    for s in range(0, len(rois), max(1, tile_batch)):
+        chunk = rois[s : s + max(1, tile_batch)]
+        B = len(chunk)
+        crops = np.stack(
+            [ref_img[y0:y1, x0:x1] for (y0, y1, x0, x1) in chunk]
+        ).astype(np.float32)
+        Kc = np.tile(np.asarray(K_ref, np.float32), (B, 1, 1))
+        for i, (y0, y1, x0, x1) in enumerate(chunk):
+            Kc[i, 0, 2] -= x0
+            Kc[i, 1, 2] -= y0
+        depth_b, _ = batched(
+            jnp.asarray(crops),
+            jnp.broadcast_to(t_j[None], (B,) + t_j.shape),
+            jnp.asarray(Kc),
+            jnp.broadcast_to(Kt_j[None], (B,) + Kt_j.shape),
+            jnp.broadcast_to(R_j[None], (B,) + R_j.shape),
+            jnp.broadcast_to(tr_j[None], (B,) + tr_j.shape),
+            jnp.broadcast_to(d_j[None], (B, len(depths))),
         )
-        out_tiles.append(((y0, y1, x0, x1), np.asarray(depth)))
+        depth_np = np.asarray(depth_b)
+        for i, roi in enumerate(chunk):
+            out_tiles.append((roi, depth_np[i]))
     return merge_tiles(out_tiles, H, W)

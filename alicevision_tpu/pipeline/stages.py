@@ -735,16 +735,20 @@ def depth_map_estimation(
             # observed inside the tile (full-size pixel ROI), a shifted
             # principal point, and the full T-cam images; tiles merge with
             # Hann weights (mapIO addTileMapWeighted).
-            from ..mvs.sharded import make_tiles, merge_tiles
+            from ..mvs.rectified import rectification_ok
+            from ..mvs.sharded import (
+                _batched_sgm_jit,
+                make_tiles,
+                merge_tiles,
+            )
 
             t_stack = jnp.asarray(np.stack([imgs[t] for t in order]))
             Kt_j = jnp.asarray(np.stack([K_all[t] for t in order]))
             Rr_j = jnp.asarray(R_rel.astype(np.float32))
             tr_j = jnp.asarray(t_rel.astype(np.float32))
-            tiles_out = []
-            for (y0, y1, x0, x1) in make_tiles(
-                H_im, W_im, tile_size, tile_overlap
-            ):
+            rois = make_tiles(H_im, W_im, tile_size, tile_overlap, clamp=True)
+            crops, Kcs, depth_lists, tc_lists = [], [], [], []
+            for (y0, y1, x0, x1) in rois:
                 roi_full = (
                     x0 * downscale, y0 * downscale,
                     x1 * downscale, y1 * downscale,
@@ -763,15 +767,57 @@ def depth_map_estimation(
                 K_crop = K_all[rc].copy()
                 K_crop[0, 2] -= x0
                 K_crop[1, 2] -= y0
-                d_t, _ = ps.sgm_depth_map(
-                    jnp.asarray(imgs[rc][y0:y1, x0:x1]),
-                    t_stack,
-                    jnp.asarray(K_crop),
-                    Kt_j, Rr_j, tr_j,
-                    dl_t.d_min, dl_t.d_max, params,
-                    depths=dl_t.depths, tc_depth_ranges=tc_t,
+                crops.append(imgs[rc][y0:y1, x0:x1])
+                Kcs.append(K_crop.astype(np.float32))
+                depth_lists.append(np.asarray(dl_t.depths, np.float32))
+                tc_lists.append(tc_t)
+            # uniform clamped tiles -> vmapped batch dispatches (the
+            # reference fills the device with same-size tiles the same
+            # way, depthMap/DepthMapEstimator.cpp:238-270); gate the
+            # rectified path ONCE on the host (poses are tile-invariant)
+            shapes = {c.shape for c in crops}
+            tiles_out = []
+            if len(shapes) == 1 and len(rois) > 1:
+                ok = all(
+                    rectification_ok(R_rel[t], t_rel[t])
+                    for t in range(R_rel.shape[0])
                 )
-                tiles_out.append(((y0, y1, x0, x1), np.asarray(d_t)))
+                params_b = params._replace(
+                    method="rectified" if ok else "gather"
+                )
+                # tiles per dispatch: batched volumes spill v5e HBM at
+                # >=768^2 tiles (measured 6x LOSS at 1024^2, B=2) — batch
+                # only small tiles
+                TB = 4 if tile_size < 768 else 1
+                for s in range(0, len(rois), TB):
+                    sl = slice(s, s + TB)
+                    B = len(crops[sl])
+                    d_b, _ = _batched_sgm_jit(
+                        jnp.asarray(np.stack(crops[sl], 0), jnp.float32),
+                        jnp.broadcast_to(t_stack[None], (B,) + t_stack.shape),
+                        jnp.asarray(np.stack(Kcs[sl], 0)),
+                        jnp.broadcast_to(Kt_j[None], (B,) + Kt_j.shape),
+                        jnp.broadcast_to(Rr_j[None], (B,) + Rr_j.shape),
+                        jnp.broadcast_to(tr_j[None], (B,) + tr_j.shape),
+                        jnp.asarray(np.stack(depth_lists[sl], 0)),
+                        params_b,
+                        tc_depth_ranges=jnp.asarray(np.stack(tc_lists[sl], 0)),
+                    )
+                    d_np = np.asarray(d_b)
+                    for i, roi in enumerate(rois[sl]):
+                        tiles_out.append((roi, d_np[i]))
+            else:
+                for i, (y0, y1, x0, x1) in enumerate(rois):
+                    d_t, _ = ps.sgm_depth_map(
+                        jnp.asarray(crops[i]),
+                        t_stack,
+                        jnp.asarray(Kcs[i]),
+                        Kt_j, Rr_j, tr_j,
+                        float(depth_lists[i][0]), float(depth_lists[i][-1]),
+                        params,
+                        depths=depth_lists[i], tc_depth_ranges=tc_lists[i],
+                    )
+                    tiles_out.append(((y0, y1, x0, x1), np.asarray(d_t)))
             depth = jnp.asarray(merge_tiles(tiles_out, H_im, W_im))
             sim = jnp.zeros_like(depth)
         else:

@@ -1141,6 +1141,10 @@ def main():
     value = extra.pop("ba_lm_iters_per_s_100cam_10kpts", None)
     baseline = extra.get("cpu_lm_iters_per_s_measured") or None
     vs = round(value / baseline, 3) if (baseline and value) else None
+    # full record first (auditable), COMPACT headline line LAST — the
+    # driver keeps only the tail of stdout, and the headline line must
+    # always carry every number README/DESIGN cite (round-4's artifact
+    # truncated the e2e/BA keys away).
     print(
         json.dumps(
             {
@@ -1150,8 +1154,33 @@ def main():
                 "vs_baseline": vs,
                 "extra": extra,
             }
-        )
+        ),
+        flush=True,
     )
+    fus = extra.get("fusion_comms_table") or {}
+    headline = {
+        "metric": "ba_lm_iterations_per_s_100cam_10kpts",
+        "value": value,
+        "unit": "iters/s",
+        "vs_baseline": vs,
+        "ba_pcg_iters_per_s": extra.get("ba_pcg_iters_per_s_1024cam_300kpts"),
+        "maps_per_s_dense": extra.get("sgm_refine_depth_maps_per_s"),
+        "maps_per_s_fast": extra.get("sgm_refine_fast_two_stage_maps_per_s"),
+        "maps_per_s_tiled": extra.get("sgm_tiled_1920x1088_maps_per_s"),
+        "e2e_tpu_6img_s": extra.get("e2e_6img_wall_s_tpu"),
+        "e2e_tpu_10img_s": extra.get("e2e_10img_wall_s_tpu"),
+        "e2e_cpu_10img_s": extra.get("e2e_10img_wall_s"),
+        "feat_imgs_per_s": extra.get("feature_extraction_images_per_s"),
+        "hard_ate_rel": extra.get("hard_scene_ate_rel"),
+        "hard_img_posed": extra.get("hard_scene_img_posed"),
+        "hard_img_ate_rel": extra.get("hard_scene_img_ate_rel"),
+        "hard_img_k1": extra.get("hard_scene_img_k1_rec"),
+        "fusion_ici_eff_8sh": (fus.get("8") or {}).get("projected_ici_eff"),
+        "sgm_sim_frac_bw": (extra.get("roofline") or {})
+        .get("sgm_similarity", {})
+        .get("frac_peak_bw"),
+    }
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":
