@@ -23,30 +23,104 @@ def tetrahedralize(points: np.ndarray) -> Delaunay:
     return Delaunay(points, qhull_options="QJ")  # joggle degenerate input
 
 
-def _segment_cells(tri: Delaunay, a: np.ndarray, b: np.ndarray, n_samples: int):
+def _sample_ts(n_samples: int) -> np.ndarray:
+    """Quadratic near-target sample spacing (see _segment_cells)."""
+    n_near = (3 * n_samples) // 4
+    ts_near = 1.0 - 0.25 * np.linspace(0.0, 1.0, n_near) ** 2  # (0.75, 1.0]
+    ts_far = np.linspace(0.05, 0.75, n_samples - n_near)
+    return np.concatenate([ts_far, ts_near[::-1]])
+
+
+def _locate_walk(tri: Delaunay, X: np.ndarray, seed: np.ndarray,
+                 max_steps: int = 256) -> np.ndarray:
+    """Vectorized tet-walk point location: from `seed` simplices, step each
+    query through the face opposite its most-negative barycentric
+    coordinate until containment (the classic walk the reference's Geogram
+    locate uses; qhull's find_simplex walk goes SUPERLINEAR past ~1M cells
+    — measured 13 s at 1.2M cells vs 189 s at 3.1M for the same query
+    load). Returns simplex ids, -1 for outside-hull (a hull face crossed)
+    or non-converged (degenerate) queries."""
+    Tm = tri.transform  # (S, 4, 3): rows 0..2 inverse affine, row 3 = r
+    nb = tri.neighbors
+    N = len(X)
+    out = np.full(N, -1, np.int64)
+    act = np.nonzero(seed >= 0)[0]
+    cur = seed[act].astype(np.int64)
+    Xa = X[act]
+    for _ in range(max_steps):
+        if len(act) == 0:
+            break
+        Tr = Tm[cur]  # (n, 4, 3)
+        c3 = np.einsum("nij,nj->ni", Tr[:, :3], Xa - Tr[:, 3])
+        bary = np.concatenate([c3, (1.0 - c3.sum(1))[:, None]], 1)  # (n, 4)
+        k = np.argmin(bary, 1)
+        inside = bary[np.arange(len(act)), k] >= -1e-12
+        out[act[inside]] = cur[inside]
+        rem = ~inside
+        nxt = nb[cur[rem], k[rem]]
+        alive = nxt >= 0  # stepping through a hull face -> outside, stays -1
+        act = act[rem][alive]
+        cur = nxt[alive]
+        Xa = X[act]
+    return out
+
+
+def _segment_cells(tri: Delaunay, a: np.ndarray, b: np.ndarray,
+                   n_samples: int, seed: np.ndarray | None = None):
     """Cells crossed by segments a->b (N, 3 each), by batched sampling.
 
     Cameras usually sit outside the convex hull, so uniform sampling along
     the segment wastes almost all queries — concentrate samples toward the
     target (quadratic spacing) with a small uniform prefix for carving.
-    Returns (N, n_samples) simplex ids (-1 outside hull)."""
-    n_near = (3 * n_samples) // 4
-    ts_near = 1.0 - 0.25 * np.linspace(0.0, 1.0, n_near) ** 2  # (0.75, 1.0]
-    ts_far = np.linspace(0.05, 0.75, n_samples - n_near)
-    ts = np.concatenate([ts_far, ts_near[::-1]])[None, :, None]
-    pts = a[:, None, :] * (1 - ts) + b[:, None, :] * ts  # (N, S, 3)
-    flat = pts.reshape(-1, 3).astype(np.float64)
-    # bbox prefilter: camera-side samples sit far OUTSIDE the hull, and
-    # qhull's outside-hull find_simplex is its slow path (measured ~10x
-    # the inside-query cost; this filter cut the 50k-point vote pass from
-    # 140 s to the tens of seconds the inside queries cost)
-    lo = tri.min_bound - 1e-9
-    hi = tri.max_bound + 1e-9
-    inside = np.all((flat >= lo) & (flat <= hi), axis=1)
-    simp = np.full(len(flat), -1, np.int64)
-    if inside.any():
-        simp[inside] = tri.find_simplex(flat[inside])
-    return simp.reshape(len(a), n_samples)
+    Returns (N, n_samples) simplex ids (-1 outside hull).
+
+    With `seed` (a containing/incident simplex per segment's b-endpoint)
+    the samples are located by COHERENT tet walks, nearest-to-b first,
+    each sample seeded by the previous one's cell: total walk work is
+    ~O(cells actually crossed). The hull is convex, so once a sample
+    falls outside, every farther sample on that ray is outside too.
+    Without seeds, falls back to qhull's find_simplex."""
+    ts = _sample_ts(n_samples)
+    if seed is None:
+        pts = a[:, None, :] * (1 - ts[None, :, None]) + b[:, None, :] * ts[
+            None, :, None
+        ]
+        flat = pts.reshape(-1, 3).astype(np.float64)
+        # bbox prefilter: camera-side samples sit far OUTSIDE the hull, and
+        # qhull's outside-hull find_simplex is its slow path (measured ~10x
+        # the inside-query cost)
+        lo = tri.min_bound - 1e-9
+        hi = tri.max_bound + 1e-9
+        inside = np.all((flat >= lo) & (flat <= hi), axis=1)
+        simp = np.full(len(flat), -1, np.int64)
+        if inside.any():
+            simp[inside] = tri.find_simplex(flat[inside])
+        return simp.reshape(len(a), n_samples)
+
+    N = len(a)
+    order = np.argsort(-ts)  # walk nearest-to-b first
+    out = np.full((N, n_samples), -1, np.int64)
+    cur_seed = seed.astype(np.int64).copy()
+    alive = np.nonzero(cur_seed >= 0)[0]
+    for j in order:
+        if len(alive) == 0:
+            break
+        t = ts[j]
+        X = a[alive] * (1.0 - t) + b[alive] * t
+        res = _locate_walk(tri, X.astype(np.float64), cur_seed[alive])
+        out[alive, j] = res
+        ok = res >= 0
+        cur_seed[alive] = res
+        alive = alive[ok]
+    return out
+
+
+def _vertex_incident_simplex(tri: Delaunay, n_points: int) -> np.ndarray:
+    """One incident simplex per vertex (walk seeds), vectorized."""
+    vt = np.full(n_points, -1, np.int64)
+    sim = tri.simplices
+    vt[sim.ravel()] = np.repeat(np.arange(len(sim), dtype=np.int64), 4)
+    return vt
 
 
 def graph_cut_surface(
@@ -73,15 +147,24 @@ def graph_cut_surface(
     n_cells = len(tri.simplices)
 
     # --- accumulate votes -------------------------------------------------
+    # every query is a seeded coherent tet walk (see _locate_walk): each
+    # ray starts at a simplex incident to its own target VERTEX and walks
+    # outward sample by sample — qhull's find_simplex goes superlinear
+    # past ~1M cells (the reference buckets lookups in an octree for the
+    # same reason, fuseCut/Octree.hpp)
     a = vis_cam_center.astype(np.float64)
     b = points[vis_point].astype(np.float64)
-    crossed = _segment_cells(tri, a, b * 0.999 + a * 0.001, n_ray_samples)
+    vert_tet = _vertex_incident_simplex(tri, len(points))
+    seeds = vert_tet[vis_point]
+    crossed = _segment_cells(
+        tri, a, b * 0.999 + a * 0.001, n_ray_samples, seed=seeds
+    )
 
-    empty_votes = np.zeros(n_cells, np.float64)
-    for s in range(n_ray_samples):
-        col = crossed[:, s]
-        ok = col >= 0
-        np.add.at(empty_votes, col[ok], empty_gain / n_ray_samples)
+    flat = crossed.ravel()
+    okf = flat >= 0
+    empty_votes = np.bincount(
+        flat[okf], minlength=n_cells
+    ).astype(np.float64) * (empty_gain / n_ray_samples)
 
     # Sensor placement decides the prior on the space beyond the hull:
     # sensors OUTSIDE the hull (photogrammetry) see through it — beyond-hull
@@ -91,19 +174,24 @@ def graph_cut_surface(
 
     # cell just behind each point
     behind_pts = b + (b - a) * behind_frac
-    behind = tri.find_simplex(behind_pts)
-    full_votes = np.zeros(n_cells, np.float64)
+    behind = _locate_walk(tri, behind_pts, seeds)
     ok = behind >= 0
-    np.add.at(full_votes, behind[ok], 1.0)
+    full_votes = np.bincount(
+        behind[ok], minlength=n_cells
+    ).astype(np.float64)
     # Inside-out scans put surface points ON the hull, so the behind-sample
     # exits it; vote the point's own cell FULL, strongly enough to beat the
     # near-point empty samples (the reference's t-edge forcing plays the
     # same role, GraphFiller.cpp:256).
     miss = ~ok
     if inside_out and miss.any():
-        own = tri.find_simplex(b[miss] - (b[miss] - a[miss]) * behind_frac)
+        own = _locate_walk(
+            tri, b[miss] - (b[miss] - a[miss]) * behind_frac, seeds[miss]
+        )
         own_ok = own >= 0
-        np.add.at(full_votes, own[own_ok], 1.0 + empty_gain)
+        full_votes += np.bincount(
+            own[own_ok], minlength=n_cells
+        ).astype(np.float64) * (1.0 + empty_gain)
 
     # --- build flow graph + cut (native BK-style solver, float caps) ------
     from .. import native

@@ -58,72 +58,86 @@ void uf_connected_components(const int64_t* a, const int64_t* b,
 // Returns max flow; out_label[i] = 1 if i on the SOURCE side of the cut.
 // ---------------------------------------------------------------------------
 
-struct Arc {
-    int32_t head;  // target node
-    int32_t next;  // next arc index of the same node, -1 end
-    double rcap;   // residual capacity
-};
-
 double bk_maxflow(int64_t n_nodes, const int64_t* eu, const int64_t* ev,
                   const double* ecap, const double* erev, int64_t n_edges,
                   const double* tcap_in, uint8_t* out_label) {
-    // Dinic's algorithm with explicit super-source/super-sink.
+    // Dinic's algorithm with explicit super-source/super-sink, CSR arc
+    // storage.
     //
-    // The previous implementation was Edmonds-Karp with a FULL BFS restart
-    // per augmenting path — O(paths x E), measured ~13 min on a 316k-cell
-    // meshing graph (the reference's BGL boykov_kolmogorov handles the same
-    // in seconds). Dinic does ONE BFS per phase and finds a blocking flow
-    // with the current-arc DFS; on these short-path sparse meshing graphs
-    // the phase count is tiny, giving near-linear behavior.
+    // History: Edmonds-Karp (full BFS per path) took ~13 min on a
+    // 316k-cell meshing graph; the round-4 Dinic on LINKED-LIST arcs cut
+    // that to seconds but went superlinear at millions of cells (117 s at
+    // 3.1M cells / 12.5M arcs — every BFS/DFS step chases a `next`
+    // pointer across a 300 MB heap). This round stores arcs in CSR order
+    // (each node's arcs contiguous, `mate[]` cross-links the residual
+    // pair), turning the traversals into linear scans.
     const int64_t S = n_nodes;      // super source
     const int64_t T = n_nodes + 1;  // super sink
     const int64_t N = n_nodes + 2;
 
-    std::vector<Arc> arcs;
-    arcs.reserve(2 * (n_edges + n_nodes));
-    std::vector<int32_t> first(N, -1);
-    auto add_pair = [&](int32_t u, int32_t v, double c, double cr) {
-        Arc a;
-        a.head = v;
-        a.next = first[u];
-        a.rcap = c;
-        first[u] = (int32_t)arcs.size();
-        arcs.push_back(a);
-        Arc b;
-        b.head = u;
-        b.next = first[v];
-        b.rcap = cr;
-        first[v] = (int32_t)arcs.size();
-        arcs.push_back(b);
-    };
+    // --- degree count ------------------------------------------------------
+    std::vector<int64_t> off(N + 1, 0);
+    auto deg = [&](int64_t u) -> int64_t& { return off[u + 1]; };
     for (int64_t e = 0; e < n_edges; ++e) {
         if (eu[e] < 0 || eu[e] >= n_nodes || ev[e] < 0 || ev[e] >= n_nodes)
             continue;  // defend the heap against malformed edge lists
-        add_pair((int32_t)eu[e], (int32_t)ev[e], ecap[e], erev[e]);
+        deg(eu[e])++;
+        deg(ev[e])++;
+    }
+    for (int64_t i = 0; i < n_nodes; ++i) {
+        if (tcap_in[i] > 1e-12) {
+            deg(S)++;
+            deg(i)++;
+        } else if (tcap_in[i] < -1e-12) {
+            deg(i)++;
+            deg(T)++;
+        }
+    }
+    for (int64_t i = 0; i < N; ++i) off[i + 1] += off[i];
+    const int64_t M = off[N];
+
+    std::vector<int32_t> head(M);
+    std::vector<int32_t> mate(M);
+    std::vector<double> rcap(M);
+    std::vector<int64_t> cur(off.begin(), off.end() - 1);
+    auto add_pair = [&](int64_t u, int64_t v, double c, double cr) {
+        int64_t ia = cur[u]++;
+        int64_t ib = cur[v]++;
+        head[ia] = (int32_t)v;
+        rcap[ia] = c;
+        mate[ia] = (int32_t)ib;
+        head[ib] = (int32_t)u;
+        rcap[ib] = cr;
+        mate[ib] = (int32_t)ia;
+    };
+    for (int64_t e = 0; e < n_edges; ++e) {
+        if (eu[e] < 0 || eu[e] >= n_nodes || ev[e] < 0 || ev[e] >= n_nodes)
+            continue;
+        add_pair(eu[e], ev[e], ecap[e], erev[e]);
     }
     for (int64_t i = 0; i < n_nodes; ++i) {
         if (tcap_in[i] > 1e-12)
-            add_pair((int32_t)S, (int32_t)i, tcap_in[i], 0.0);
+            add_pair(S, i, tcap_in[i], 0.0);
         else if (tcap_in[i] < -1e-12)
-            add_pair((int32_t)i, (int32_t)T, -tcap_in[i], 0.0);
+            add_pair(i, T, -tcap_in[i], 0.0);
     }
 
     std::vector<int32_t> level(N);
-    std::vector<int32_t> it(N);
+    std::vector<int64_t> it(N);
     std::vector<int32_t> bfs_q(N);
 
     auto bfs = [&]() -> bool {
         std::fill(level.begin(), level.end(), -1);
-        int32_t head = 0, tail = 0;
-        bfs_q[tail++] = (int32_t)S;
+        int32_t qhead = 0, qtail = 0;
+        bfs_q[qtail++] = (int32_t)S;
         level[S] = 0;
-        while (head < tail) {
-            int32_t u = bfs_q[head++];
-            for (int32_t ai = first[u]; ai != -1; ai = arcs[ai].next) {
-                int32_t v = arcs[ai].head;
-                if (arcs[ai].rcap > 1e-12 && level[v] < 0) {
+        while (qhead < qtail) {
+            int32_t u = bfs_q[qhead++];
+            for (int64_t ai = off[u]; ai < off[u + 1]; ++ai) {
+                int32_t v = head[ai];
+                if (rcap[ai] > 1e-12 && level[v] < 0) {
                     level[v] = level[u] + 1;
-                    bfs_q[tail++] = v;
+                    bfs_q[qtail++] = v;
                 }
             }
         }
@@ -131,45 +145,45 @@ double bk_maxflow(int64_t n_nodes, const int64_t* eu, const int64_t* ev,
     };
 
     // Iterative blocking-flow DFS with current-arc pointers.
-    std::vector<int32_t> path_arc;
+    std::vector<int64_t> path_arc;
     path_arc.reserve(1024);
     double flow = 0.0;
     while (bfs()) {
-        for (int64_t i = 0; i < N; ++i) it[i] = first[i];
+        for (int64_t i = 0; i < N; ++i) it[i] = off[i];
         for (;;) {
             // walk from S following admissible current arcs
             path_arc.clear();
-            int32_t u = (int32_t)S;
-            while (u != (int32_t)T) {
-                int32_t ai = it[u];
-                while (ai != -1 &&
-                       (arcs[ai].rcap <= 1e-12 ||
-                        level[arcs[ai].head] != level[u] + 1))
-                    ai = arcs[ai].next;
+            int64_t u = S;
+            while (u != T) {
+                int64_t ai = it[u];
+                const int64_t aend = off[u + 1];
+                while (ai < aend &&
+                       (rcap[ai] <= 1e-12 || level[head[ai]] != level[u] + 1))
+                    ++ai;
                 it[u] = ai;
-                if (ai == -1) {
+                if (ai == aend) {
                     // dead end: retreat (or phase done at S)
                     if (path_arc.empty()) {
                         u = -1;
                         break;
                     }
                     level[u] = -1;  // prune exhausted node this phase
-                    int32_t pa = path_arc.back();
+                    int64_t pa = path_arc.back();
                     path_arc.pop_back();
-                    u = arcs[pa ^ 1].head;  // tail of pa
-                    it[u] = arcs[pa].next;  // skip the arc into the dead node
+                    u = head[mate[pa]];  // tail of pa
+                    it[u] = pa + 1;      // skip the arc into the dead node
                     continue;
                 }
                 path_arc.push_back(ai);
-                u = arcs[ai].head;
+                u = head[ai];
             }
             if (u == -1) break;  // no more augmenting paths this phase
             // bottleneck + augment
-            double bn = arcs[path_arc[0]].rcap;
-            for (int32_t pa : path_arc) bn = std::min(bn, arcs[pa].rcap);
-            for (int32_t pa : path_arc) {
-                arcs[pa].rcap -= bn;
-                arcs[pa ^ 1].rcap += bn;
+            double bn = rcap[path_arc[0]];
+            for (int64_t pa : path_arc) bn = std::min(bn, rcap[pa]);
+            for (int64_t pa : path_arc) {
+                rcap[pa] -= bn;
+                rcap[mate[pa]] += bn;
             }
             flow += bn;
         }
@@ -183,10 +197,10 @@ double bk_maxflow(int64_t n_nodes, const int64_t* eu, const int64_t* ev,
     while (!q2.empty()) {
         int32_t u = q2.front();
         q2.pop();
-        for (int32_t ai = first[u]; ai != -1; ai = arcs[ai].next) {
-            if (arcs[ai].rcap > 1e-12 && !visited[arcs[ai].head]) {
-                visited[arcs[ai].head] = 1;
-                q2.push(arcs[ai].head);
+        for (int64_t ai = off[u]; ai < off[u + 1]; ++ai) {
+            if (rcap[ai] > 1e-12 && !visited[head[ai]]) {
+                visited[head[ai]] = 1;
+                q2.push(head[ai]);
             }
         }
     }

@@ -755,52 +755,54 @@ def bench_hard_ate():
 
 
 def bench_hard_ate_images():
-    """The same 40-view hard world, but THROUGH THE REAL FRONT-END: the
-    ring is rendered as 1280x960 radially-distorted images and the actual
-    pipeline (DSP-SIFT -> voctree retrieval -> matching -> incremental SfM)
-    must recover poses AND the distortion from pixels alone. Extraction
-    downscales to 1024 on the long side to bound the CPU-jax wall; all
-    downstream stages run at the detected-feature coordinates (full-res
-    frame)."""
+    """The same 40-view hard world, but THROUGH THE REAL FRONT-END at the
+    REFERENCE'S OWN OPERATING POINT: the ring is rendered as 1280x960
+    radially-distorted images, DSP-SIFT detects at FULL resolution with
+    the reference's 10,000-keypoint default
+    (ref: src/aliceVision/feature/sift/SIFT.hpp:38-50 maxTotalKeypoints),
+    then voctree retrieval -> matching -> incremental SfM must recover
+    poses AND the distortion from pixels alone. Runs on the DEFAULT (TPU)
+    backend — 10k-descriptor brute-force matching is MXU work the CPU
+    path would grind on for ~30 min."""
     import tempfile
 
-    import jax
+    # straight-line BA on the relay path (HLO While costs a host round
+    # trip per iteration through the axon tunnel)
+    os.environ.setdefault("AV_BA_LOOP", "unrolled")
 
     from alicevision_tpu.pipeline import stages
     from alicevision_tpu.utils.rendered import render_hard_views
 
-    cpu = jax.devices("cpu")[0]
     V, W, H = 40, 1280, 960
     f = 900.0
-    with jax.default_device(cpu):
-        imgs, K, disto, R_gt, c_gt = render_hard_views(
-            n_views=V, wh=(W, H), focal_px=f
+    imgs, K, disto, R_gt, c_gt = render_hard_views(
+        n_views=V, wh=(W, H), focal_px=f
+    )
+    with tempfile.TemporaryDirectory() as d:
+        img_dir = os.path.join(d, "imgs")
+        os.makedirs(img_dir)
+        for v in range(V):
+            np.save(
+                os.path.join(img_dir, f"view_{v:03d}.npy"), imgs[v]
+            )
+        work = os.path.join(d, "w")
+        os.makedirs(work)
+        scene = os.path.join(work, "cameraInit.sfm")
+        stages.camera_init(img_dir, scene, default_focal_px=f * 1.02)
+        feats = os.path.join(work, "features")
+        stages.feature_extraction(
+            scene, feats, max_keypoints=10000, downscale_to=0,
+            describer_types="dspsift",
         )
-        with tempfile.TemporaryDirectory() as d:
-            img_dir = os.path.join(d, "imgs")
-            os.makedirs(img_dir)
-            for v in range(V):
-                np.save(
-                    os.path.join(img_dir, f"view_{v:03d}.npy"), imgs[v]
-                )
-            work = os.path.join(d, "w")
-            os.makedirs(work)
-            scene = os.path.join(work, "cameraInit.sfm")
-            stages.camera_init(img_dir, scene, default_focal_px=f * 1.02)
-            feats = os.path.join(work, "features")
-            stages.feature_extraction(
-                scene, feats, max_keypoints=4096, downscale_to=1024,
-                describer_types="dspsift",
-            )
-            pairs_f = os.path.join(work, "pairs.txt")
-            stages.image_matching(
-                scene, feats, pairs_f, method="voctree", n_neighbors=6
-            )
-            matches_f = os.path.join(work, "matches.npz")
-            stages.feature_matching(scene, feats, pairs_f, matches_f)
-            out = stages.incremental_sfm(
-                scene, feats, matches_f, os.path.join(work, "sfm.sfm")
-            )
+        pairs_f = os.path.join(work, "pairs.txt")
+        stages.image_matching(
+            scene, feats, pairs_f, method="voctree", n_neighbors=6
+        )
+        matches_f = os.path.join(work, "matches.npz")
+        stages.feature_matching(scene, feats, pairs_f, matches_f)
+        out = stages.incremental_sfm(
+            scene, feats, matches_f, os.path.join(work, "sfm.sfm")
+        )
     vp = out.view_pose
     posed_v = [v for v in range(V) if vp[v] >= 0]
     est = np.stack([out.pose_c[vp[v]] for v in posed_v])
