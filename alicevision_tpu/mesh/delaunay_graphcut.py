@@ -32,41 +32,74 @@ def _sample_ts(n_samples: int) -> np.ndarray:
 
 
 def _locate_walk(tri: Delaunay, X: np.ndarray, seed: np.ndarray,
-                 max_steps: int = 256) -> np.ndarray:
+                 max_steps: int = 96,
+                 rng: np.random.RandomState | None = None,
+                 Tm: np.ndarray | None = None):
     """Vectorized tet-walk point location: from `seed` simplices, step each
     query through the face opposite its most-negative barycentric
     coordinate until containment (the classic walk the reference's Geogram
     locate uses; qhull's find_simplex walk goes SUPERLINEAR past ~1M cells
     — measured 13 s at 1.2M cells vs 189 s at 3.1M for the same query
-    load). Returns simplex ids, -1 for outside-hull (a hull face crossed)
-    or non-converged (degenerate) queries."""
-    Tm = tri.transform  # (S, 4, 3): rows 0..2 inverse affine, row 3 = r
+    load).
+
+    The greedy face choice can CYCLE on near-degenerate tets (measured: a
+    small non-converging tail kept ~the whole query load active for 256
+    steps at 6.3M cells — 395 s of pure churn). After a greedy prefix the
+    walk switches to the stochastic variant (uniform random face among the
+    negative coordinates), which terminates with probability 1.
+
+    Returns (simplex ids with -1 for not-found, exited_hull mask). A -1
+    with exited_hull=False means the walk hit max_steps (degenerate
+    pocket), NOT that the point is outside.
+
+    `Tm` lets callers pass a pre-cast FLOAT32 transform table: the walk is
+    bound by the (n, 4, 3) transform gathers, and tri.transform is f64 —
+    casting once per surface extraction instead of per call halves the
+    gathered bytes (the -1e-4 containment slack absorbs f32 rounding; a
+    sample settling one cell over shifts a vote by one cell, which the
+    aggregate is insensitive to)."""
+    if Tm is None:
+        Tm = tri.transform  # (S, 4, 3): rows 0..2 inverse affine, row 3 = r
+    eps = -1e-4 if Tm.dtype == np.float32 else -1e-12
     nb = tri.neighbors
+    if rng is None:
+        rng = np.random.RandomState(0)
+    X = X.astype(Tm.dtype, copy=False)
     N = len(X)
     out = np.full(N, -1, np.int64)
+    exited = np.zeros(N, bool)
     act = np.nonzero(seed >= 0)[0]
     cur = seed[act].astype(np.int64)
     Xa = X[act]
-    for _ in range(max_steps):
+    for step in range(max_steps):
         if len(act) == 0:
             break
         Tr = Tm[cur]  # (n, 4, 3)
         c3 = np.einsum("nij,nj->ni", Tr[:, :3], Xa - Tr[:, 3])
         bary = np.concatenate([c3, (1.0 - c3.sum(1))[:, None]], 1)  # (n, 4)
-        k = np.argmin(bary, 1)
-        inside = bary[np.arange(len(act)), k] >= -1e-12
+        if step < 24:  # greedy prefix: steepest descent face
+            k = np.argmin(bary, 1)
+        else:  # stochastic walk: random face among negative coords
+            neg = bary < eps
+            r = rng.random_sample(bary.shape)
+            r[~neg] = -1.0
+            k = np.argmax(r, 1)
+        inside = bary[np.arange(len(act)), k] >= eps
         out[act[inside]] = cur[inside]
         rem = ~inside
         nxt = nb[cur[rem], k[rem]]
-        alive = nxt >= 0  # stepping through a hull face -> outside, stays -1
-        act = act[rem][alive]
+        alive = nxt >= 0  # stepping through a hull face -> outside
+        rem_idx = act[rem]
+        exited[rem_idx[~alive]] = True
+        act = rem_idx[alive]
         cur = nxt[alive]
         Xa = X[act]
-    return out
+    return out, exited
 
 
 def _segment_cells(tri: Delaunay, a: np.ndarray, b: np.ndarray,
-                   n_samples: int, seed: np.ndarray | None = None):
+                   n_samples: int, seed: np.ndarray | None = None,
+                   Tm: np.ndarray | None = None):
     """Cells crossed by segments a->b (N, 3 each), by batched sampling.
 
     Cameras usually sit outside the convex hull, so uniform sampling along
@@ -107,11 +140,14 @@ def _segment_cells(tri: Delaunay, a: np.ndarray, b: np.ndarray,
             break
         t = ts[j]
         X = a[alive] * (1.0 - t) + b[alive] * t
-        res = _locate_walk(tri, X.astype(np.float64), cur_seed[alive])
+        res, exited = _locate_walk(tri, X, cur_seed[alive], Tm=Tm)
         out[alive, j] = res
-        ok = res >= 0
-        cur_seed[alive] = res
-        alive = alive[ok]
+        # a ray dies only on a CONFIRMED hull exit (convexity: all farther
+        # samples are outside too); a max-steps walk keeps its previous
+        # seed so the next sample retries from the last good cell
+        found = res >= 0
+        cur_seed[alive[found]] = res[found]
+        alive = alive[~exited]
     return out
 
 
@@ -156,8 +192,9 @@ def graph_cut_surface(
     b = points[vis_point].astype(np.float64)
     vert_tet = _vertex_incident_simplex(tri, len(points))
     seeds = vert_tet[vis_point]
+    Tm32 = tri.transform.astype(np.float32)  # cast ONCE (see _locate_walk)
     crossed = _segment_cells(
-        tri, a, b * 0.999 + a * 0.001, n_ray_samples, seed=seeds
+        tri, a, b * 0.999 + a * 0.001, n_ray_samples, seed=seeds, Tm=Tm32
     )
 
     flat = crossed.ravel()
@@ -174,7 +211,7 @@ def graph_cut_surface(
 
     # cell just behind each point
     behind_pts = b + (b - a) * behind_frac
-    behind = _locate_walk(tri, behind_pts, seeds)
+    behind, _ = _locate_walk(tri, behind_pts, seeds, Tm=Tm32)
     ok = behind >= 0
     full_votes = np.bincount(
         behind[ok], minlength=n_cells
@@ -185,8 +222,9 @@ def graph_cut_surface(
     # same role, GraphFiller.cpp:256).
     miss = ~ok
     if inside_out and miss.any():
-        own = _locate_walk(
-            tri, b[miss] - (b[miss] - a[miss]) * behind_frac, seeds[miss]
+        own, _ = _locate_walk(
+            tri, b[miss] - (b[miss] - a[miss]) * behind_frac, seeds[miss],
+            Tm=Tm32,
         )
         own_ok = own >= 0
         full_votes += np.bincount(

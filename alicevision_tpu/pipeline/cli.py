@@ -138,6 +138,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--downscale", type=int, default=2)
     p.add_argument("--computeNormalMaps", action="store_true",
                    help="write per-view normal maps from the filtered depths")
+    p.add_argument("--nNearestCams", type=int, default=0,
+                   help="bound the consistency set to +-k ring neighbours "
+                        "(0 = all views; ref maxNbNearestCams)")
     _add_common(p)
 
     p = sub.add_parser("meshing")
@@ -544,6 +547,7 @@ def _dispatch_inner(args) -> int:
         stages.depth_map_filtering(
             args.input, args.depth, args.output, args.minConsistent, args.downscale,
             compute_normal_maps=args.computeNormalMaps,
+            n_nearest_cams=args.nNearestCams,
         )
     elif args.cmd == "meshing":
         stages.meshing_point_cloud(

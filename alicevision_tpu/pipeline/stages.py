@@ -864,10 +864,17 @@ def depth_map_filtering(
     min_consistent: int = 3,
     downscale: int = 2,
     compute_normal_maps: bool = False,
+    n_nearest_cams: int = 0,
 ) -> None:
+    """Cross-view consistency filtering of per-view depth maps.
+
+    n_nearest_cams > 0 bounds each view's consistency set to its ±k ring
+    neighbours in view order (the reference checks against a bounded
+    neighbour-camera set, fuseCut/Fuser.hpp:21-34 + maxNbNearestCams);
+    0 = all-pairs."""
     import jax.numpy as jnp
 
-    from ..mvs.fusion import consistency_filter
+    from ..mvs.fusion import consistency_filter, consistency_filter_ring
 
     sc = sfmdata.load(input_sfm)
     _ensure_dir(output_folder)
@@ -889,13 +896,23 @@ def depth_map_filtering(
         ids.append(vid)
     if not depths:
         return
-    filt, counts = consistency_filter(
-        jnp.asarray(np.stack(depths)),
-        jnp.asarray(np.stack(Ks)),
-        jnp.asarray(np.stack(Rs)),
-        jnp.asarray(np.stack(cs)),
-        min_consistent=min_consistent,
-    )
+    if n_nearest_cams > 0:
+        filt, counts = consistency_filter_ring(
+            jnp.asarray(np.stack(depths)),
+            jnp.asarray(np.stack(Ks)),
+            jnp.asarray(np.stack(Rs)),
+            jnp.asarray(np.stack(cs)),
+            k=n_nearest_cams,
+            min_consistent=min_consistent,
+        )
+    else:
+        filt, counts = consistency_filter(
+            jnp.asarray(np.stack(depths)),
+            jnp.asarray(np.stack(Ks)),
+            jnp.asarray(np.stack(Rs)),
+            jnp.asarray(np.stack(cs)),
+            min_consistent=min_consistent,
+        )
     filt = np.asarray(filt)
     for i, vid in enumerate(ids):
         np.save(os.path.join(output_folder, f"{vid}_depth.npy"), filt[i])

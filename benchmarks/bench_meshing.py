@@ -25,7 +25,12 @@ def run(n_points: int):
 
     # fused cloud from GT depth maps of the box world, decimated to target
     V = 8
-    wh = (640, 480) if n_points > 100_000 else (320, 240)
+    if n_points > 600_000:
+        wh = (880, 660)  # 8 views fuse ~1.7M consistent points
+    elif n_points > 100_000:
+        wh = (640, 480)
+    else:
+        wh = (320, 240)
     imgs, depths, K, R, c = render_views(n_views=V, wh=wh, focal_px=280.0 * wh[0] / 320, arc=2.2)
     Ks = np.tile(K[None], (V, 1, 1))
     pts, _, views = fuse_point_cloud(depths, None, Ks, R, c)
