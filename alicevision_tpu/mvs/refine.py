@@ -329,7 +329,12 @@ def _pair_refine_scores_rectified(
     lo_v = jnp.min(jnp.where(t_okb, uu, jnp.inf), axis=1, keepdims=True)
     hi_v = jnp.max(jnp.where(t_okb, uu, -jnp.inf), axis=1, keepdims=True)
 
-    blur = lambda x: gaussian_blur(x, sigma_window)  # noqa: E731
+    # bulk (5, CH, H, W) moment stacks blur as banded matmuls — the
+    # single-channel conv lowering leaves the MXU idle (see
+    # image/filtering.gaussian_blur_mm; same win as the SGM ZNCC)
+    from ..image.filtering import gaussian_blur_mm
+
+    blur = lambda x: gaussian_blur_mm(x, sigma_window)  # noqa: E731
     mr = blur(ref_rect)
     rr = jnp.maximum(blur(ref_rect * ref_rect) - mr * mr, 0.0)
 
