@@ -1,6 +1,13 @@
-"""Benchmarks on the real TPU chip. Prints ONE JSON line:
+"""Benchmarks on the real TPU chip. Prints per-section progress lines, a
+full JSON record, and — as the very LAST stdout line — a COMPACT headline
+JSON carrying every number README/DESIGN cite (the driver keeps only the
+tail of stdout):
 
-    {"metric", "value", "unit", "vs_baseline", "extra": {...}}
+    {"metric", "value", "unit", "vs_baseline",
+     "ba_pcg_iters_per_s", "maps_per_s_dense/fast/tiled",
+     "e2e_tpu_6img_s", "e2e_tpu_10img_s", "e2e_cpu_10img_s",
+     "feat_imgs_per_s", "hard_ate_rel", "hard_img_*",
+     "fusion_ici_eff_8sh", "sgm_sim_frac_bw"}
 
 Headline metric: Schur-complement LM bundle-adjustment iterations/s at the
 100-camera / 10k-landmark operating point (where the reference switches to
@@ -961,9 +968,12 @@ def bench_roofline():
     )
 
     # --- BA PCG matvec (1024 cams / 300k pts / 1.8M obs) -------------------
+    # topology closed over (streaming the 40 MB problem pytree as per-call
+    # args costs ~0.5 s of relay argument hashing — see bench_ba_large)
     big = make_large_problem()
 
-    def pcg_matvecs(p):
+    def pcg_matvecs(pts):
+        p = big._replace(points=pts)
         r, Jc, Jl = ba._residuals_and_jacobians(
             p, p.cam_q, p.cam_c, p.points
         )
@@ -976,7 +986,9 @@ def bench_roofline():
         x, _ = jax.lax.scan(body, parts.b, None, length=16)
         return jnp.sum(x)
 
-    out["ba_pcg_matvec"] = measure("pcg_matvec", pcg_matvecs, (big,), n_sub=16)
+    out["ba_pcg_matvec"] = measure(
+        "pcg_matvec", pcg_matvecs, (big.points,), n_sub=16
+    )
 
     # --- SGM similarity volume (480x272, D=256, T=4, rectified) ------------
     from alicevision_tpu.mvs.plane_sweep import SgmParams
