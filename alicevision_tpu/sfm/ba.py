@@ -837,7 +837,10 @@ def _s_operator(parts: _SchurParts, C: int, dtype):
     Minv = jnp.linalg.inv(Sd)  # (C, 6, 6) batched tiny inverses
 
     K, L = ocT.shape
-    fast = C * K * L > _ONEHOT_BUDGET
+    # the fast path's reshape MERGES the local K axis into L — under SPMD
+    # that is exactly the all-gather-forcing pattern DESIGN §2 bans, so the
+    # sharded trace keeps the (K, L)-separate gather/scatter forms
+    fast = (C * K * L > _ONEHOT_BUDGET) and not _SPMD_FORMS
     if fast:
         idx_flat = ocT.reshape(-1)
 
