@@ -21,7 +21,7 @@ only the chip differs). Both are reported separately in `extra`.
 
 `extra` carries the other BASELINE.md configs:
   * ba_pcg_iters_per_s_1024cam_300kpts — large-scene matrix-free PCG path
-    (warm-started CG at cg_iters=16; ba_pcg_cost_final_by_cg_iters is the
+    (warm-started CG at cg_iters=8; ba_pcg_cost_final_by_cg_iters is the
     auditable quality curve)
   * sgm_refine_depth_maps_per_s       — SGM+Refine per-view throughput at
     the LITERAL reference operating point (scale 2 + stepXY 2 -> 480x272
