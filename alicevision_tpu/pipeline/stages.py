@@ -485,7 +485,10 @@ def incremental_sfm(
     output_sfm: str,
     min_track_length: int = 2,
     seed: int = 0,
+    config=None,
 ) -> sfmdata.SfMData:
+    """`config` (an IncrementalConfig) overrides the engine defaults —
+    e.g. resolution-scaled outlier gates for high-resolution captures."""
     from ..sfm.incremental import IncrementalConfig, IncrementalSfM
     from ..tracks.builder import build_tracks
 
@@ -505,7 +508,7 @@ def incremental_sfm(
         sc.intrinsics_table(),
         view_intrinsic=sc.view_intrinsic,
         image_sizes=sc.view_sizes,
-        config=IncrementalConfig(seed=seed),
+        config=config if config is not None else IncrementalConfig(seed=seed),
     )
     engine.process()
     out = engine.to_sfmdata(view_ids=sc.view_ids)
