@@ -26,6 +26,8 @@ from __future__ import annotations
 import os
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -263,7 +265,9 @@ def _disparity_bounds(K_ref, K_t, R_rel, t_rel, depth_range, rel_span, hw):
 
 
 @partial(
-    jax.jit, static_argnames=("n_offsets", "s_min", "s_max", "sigma_window")
+    jax.jit,
+    static_argnames=("rel_step", "n_offsets", "s_min", "s_max",
+                     "sigma_window"),
 )
 def _pair_refine_scores_rectified(
     depth_sgm, ref_img, t_img, K_ref, K_t, R_rel, t_rel,
@@ -338,27 +342,64 @@ def _pair_refine_scores_rectified(
     mr = blur(ref_rect)
     rr = jnp.maximum(blur(ref_rect * ref_rect) - mr * mr, 0.0)
 
-    def chunk_scores(offs_c):
-        """Scores for one chunk of offsets: masked-shift scan + ZNCC."""
-        scale_k = (1.0 + offs_c)[:, None, None]  # (CH, 1, 1)
+    # Per-chunk windowed warps. A chunk of CH consecutive offsets spans a
+    # per-pixel disparity interval of width <= max|disp| * CH * rel_step —
+    # a handful of integer columns — so scanning the GLOBAL [s_min, s_max]
+    # range (190+ steps at the reference operating point) pays (CH, H, W)
+    # accumulator read+write traffic per step for steps that contribute
+    # nothing to this chunk. Measured as the dense-RefineParams wall:
+    # ~0.63 s/pair at 544x960, 301 offsets, bandwidth-bound on the carry.
+    # Split it:
+    #   1. extract the J-plane per-pixel window
+    #      wnd[j] = t_rect[v, u - s0(u,v) - j]  (s0 = chunk disparity
+    #      floor) with a global-range scan whose carry is only (J, H, W),
+    #      unroll=8 so XLA keeps the carry live across unrolled steps (a
+    #      flat J*H*W take was measured 2.5-6x SLOWER than this scan —
+    #      TPU random-gather throughput, profile_refine_dense4.py);
+    #   2. hat-sum the window into the (CH, H, W) warps over J steps:
+    #      w_j = max(0, 1 - |p - j|), p = dk - s0, which on the two
+    #      adjacent planes is exactly the (1-frac, frac) bilinear pair of
+    #      the former global scan — BIT-EXACT output, measured 4.4x
+    #      faster per chunk (112 -> 25 ms dense, profile_refine_dense5).
+    CH = min(2 * n_offsets + 1, 64)
+    J = min(
+        int(np.ceil(max(abs(s_min), abs(s_max)) * CH * rel_step)) + 4,
+        s_max - s_min + 3,
+    )
 
-        def body(acc, s):
+    def chunk_scores(offs_c):
+        """Scores for one chunk of offsets: windowed warps + ZNCC."""
+        scale_k = (1.0 + offs_c)[:, None, None]  # (CH, 1, 1)
+        # chunk window start: floor of the chunk's per-pixel disparity
+        # minimum (offsets are monotone, so the extremes are the ends)
+        s0 = jnp.floor(jnp.minimum(
+            disp0 * (1.0 + offs_c[0]), disp0 * (1.0 + offs_c[-1])
+        )) - 1.0  # (H, W)
+        jjf = jnp.arange(J, dtype=jnp.float32)[:, None, None]
+
+        def ext(acc, s):
             sl = jax.lax.dynamic_slice_in_dim(
                 padded, pad_l - s, W, axis=1
             )  # (H, W): value at (v, u) = t_rect[v, u - s]
-            sf = s.astype(jnp.float32)
-            # frac weights recomputed from the (H, W) base disparity —
-            # cheaper than carrying per-offset tables through the scan
-            dk = disp0[None] * scale_k
-            dk_i = jnp.floor(dk)
-            w = jnp.where(dk_i == sf, 1.0 - (dk - dk_i), 0.0) + jnp.where(
-                dk_i == sf - 1.0, dk - dk_i, 0.0
-            )  # (CH, H, W)
-            return acc + w * sl[None], None
+            m = s0[None] == s.astype(jnp.float32) - jjf
+            return acc + jnp.where(m, sl[None], 0.0), None
+
+        wnd, _ = jax.lax.scan(
+            ext, jnp.zeros((J, H, W), jnp.float32),
+            jnp.arange(s_min, s_max + 1, dtype=jnp.int32), unroll=8,
+        )
+
+        pw = disp0[None] * scale_k - s0[None]  # window-frame disparity
+
+        def hat(acc, jw):
+            jf, wj = jw
+            w = jnp.maximum(1.0 - jnp.abs(pw - jf), 0.0)  # (CH, H, W)
+            return acc + w * wj[None], None
 
         acc0 = jnp.zeros((offs_c.shape[0], H, W), jnp.float32)
         warps, _ = jax.lax.scan(
-            body, acc0, jnp.arange(s_min, s_max + 1, dtype=jnp.int32)
+            hat, acc0, (jnp.arange(J, dtype=jnp.float32), wnd),
+            unroll=min(J, 16),
         )
         disp_k = disp0[None] * scale_k
         p = uu[None] - disp_k
@@ -390,8 +431,8 @@ def _pair_refine_scores_rectified(
     # hypotheses) would otherwise stack (5, 301, H, W) moment planes —
     # ~3 GB at 544x960 plus warp temps, which EXHAUSTS v5e HBM (measured).
     # lax.map over <=64-offset chunks keeps peak memory at one chunk while
-    # total scan/ZNCC work is unchanged.
-    CH = min(n_off, 64)
+    # total scan/ZNCC work is unchanged. (CH is defined above — the window
+    # size J is derived from it.)
     n_pad = (-n_off) % CH
     offs_p = jnp.concatenate([offs, jnp.full((n_pad,), offs[-1])])
     sims_rect = jax.lax.map(
