@@ -106,3 +106,39 @@ def test_disparity_bounds_buckets():
     assert lo <= 0 < hi
     # true disparity range fx*B/d in [6.7, 20] must be covered
     assert lo <= 6 and hi >= 21
+
+
+def test_dense_grid_multichunk_matches_gather():
+    """The dense RefineParams-style grid (n_offsets > 64) exercises the
+    multi-chunk lax.map path + per-chunk disparity windows: parity with
+    the per-offset bilinear-gather scorer on the same 141-hypothesis grid.
+
+    ref: src/aliceVision/depthMap/RefineParams.hpp:23-24 (halfNbDepths x
+    nbSubsamples dense volume, evaluated at 1/10-plane steps in
+    cuda/planeSweeping/deviceSimilarityVolume.cu:477-494).
+    """
+    H, W, d_true = 96, 128, 5.0
+    ref, t_img, K, R_rel, t_rel = _pair_setup(
+        jax.random.PRNGKey(5), H, W, d_true
+    )
+    d0 = _coarse(H, W, d_true)
+
+    # 2*70+1 = 141 offsets -> CH=64, 3 chunks with tail padding
+    d_g, _ = rf.refine_depth_map(
+        d0, ref, t_img[None], K, K[None], R_rel[None], t_rel[None],
+        rel_step=0.0005, n_offsets=70,
+    )
+    d_r, _ = rf.refine_depth_map_auto(
+        d0, ref, t_img[None], K, K[None], R_rel[None], t_rel[None],
+        depth_range=(3.0, 9.0), rel_step=0.0005, n_offsets=70,
+        n_subsamples=1, method="rectified",
+    )
+    d_g = np.asarray(d_g)
+    d_r = np.asarray(d_r)
+    interior = np.zeros((H, W), bool)
+    interior[12:-12, 12:-12] = True
+    err0 = np.median(np.abs(np.asarray(d0) - d_true)[interior])
+    err_r = np.median(np.abs(d_r - d_true)[interior])
+    assert err_r < err0  # the fine grid refines the coarse map
+    diff = np.abs(d_g - d_r)[interior]
+    assert np.median(diff) < 0.01 * d_true  # parity with the gather path
