@@ -269,7 +269,7 @@ def _directional_pass(cost: jnp.ndarray, p2_img: jnp.ndarray, p1: float):
         return L, L
 
     L0 = cost[0]
-    _, Ls = jax.lax.scan(step, L0, (cost[1:], p2_img[1:]))
+    _, Ls = jax.lax.scan(step, L0, (cost[1:], p2_img[1:]), unroll=4)
     return jnp.concatenate([L0[None], Ls], axis=0)
 
 
@@ -297,7 +297,7 @@ def _diagonal_pass(cost: jnp.ndarray, p2_img: jnp.ndarray, p1: float,
         return L, L
 
     L0 = cost[0]
-    _, Ls = jax.lax.scan(step, L0, (cost[1:], p2_img[1:]))
+    _, Ls = jax.lax.scan(step, L0, (cost[1:], p2_img[1:]), unroll=4)
     return jnp.concatenate([L0[None], Ls], axis=0)
 
 
