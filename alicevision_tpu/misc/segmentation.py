@@ -84,29 +84,32 @@ def have_onnxruntime() -> bool:
 
 def onnx_model(model_path: str, input_name: str | None = None,
                providers=None):
-    """Optional-import ONNX Runtime wrapper returning a tile callable for
-    `segment_tiled` (the reference's ORT session,
-    segmentation.hpp:119-120). The environment may lack onnxruntime — the
-    import is deferred here so everything else works without it."""
+    """ONNX session wrapper returning a tile callable for `segment_tiled`
+    (the reference's ORT session, segmentation.hpp:119-120). Uses
+    onnxruntime when importable; otherwise falls back to the built-in
+    native executor (`utils/onnx_rt.py`: from-scratch ModelProto parser +
+    jit-compiled JAX forward), so real `.onnx` files run either way."""
     try:
         import onnxruntime as ort
-    except ImportError as e:  # pragma: no cover - env without ORT
-        raise ImportError(
-            "onnxruntime is not installed; use sky_mask_classical or pass a"
-            " JAX/torch callable to segment_tiled instead"
-        ) from e
-    sess = ort.InferenceSession(
-        model_path, providers=providers or ["CPUExecutionProvider"]
-    )
-    iname = input_name or sess.get_inputs()[0].name
+
+        sess = ort.InferenceSession(
+            model_path, providers=providers or ["CPUExecutionProvider"]
+        )
+        iname = input_name or sess.get_inputs()[0].name
+        run_nchw = lambda x: sess.run(None, {iname: x})[0]  # noqa: E731
+    except ImportError:  # no ORT in this image: native JAX executor
+        from ..utils.onnx_rt import OnnxModel
+
+        net = OnnxModel(model_path)
+        iname = input_name or net.input_names[0]
+        run_nchw = lambda x: np.asarray(net(**{iname: x}))  # noqa: E731
 
     def run(tile: np.ndarray) -> np.ndarray:
         x = np.asarray(tile, np.float32)
         if x.ndim == 2:
             x = x[..., None]
         x = np.transpose(x, (2, 0, 1))[None]  # NCHW
-        out = sess.run(None, {iname: x})[0]
-        out = np.asarray(out)
+        out = np.asarray(run_nchw(x))
         if out.ndim == 4:  # (1, K, h, w) -> (h, w, K)
             out = np.transpose(out[0], (1, 2, 0))
         elif out.ndim == 3:

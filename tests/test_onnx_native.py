@@ -1,0 +1,232 @@
+"""Native ONNX runtime: wire-format round trip + JAX execution parity.
+
+The image has no onnxruntime, so `utils/onnx_rt.py` implements the slice
+the reference consumes through ORT (ref: src/aliceVision/segmentation/
+segmentation.hpp:119-120; sphereDetection forward): a from-scratch
+ModelProto wire reader/writer and a jit-compiled executor. These tests
+author REAL .onnx files with the writer and check the executor against
+hand-computed numpy forwards — closing the previously environment-limited
+"mocked session only" gap with genuine model-file inference.
+"""
+
+import numpy as np
+import pytest
+
+from alicevision_tpu.utils.onnx_rt import (
+    OnnxModel,
+    load_model,
+    make_model,
+    make_node,
+    make_tensor,
+    parse_model,
+)
+
+
+def _conv2d_ref(x, w, b=None, stride=1, pad=0):
+    """Naive NCHW conv for the oracle."""
+    N, C, H, W = x.shape
+    O, _, kh, kw = w.shape
+    xp = np.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+    Ho = (H + 2 * pad - kh) // stride + 1
+    Wo = (W + 2 * pad - kw) // stride + 1
+    out = np.zeros((N, O, Ho, Wo), np.float32)
+    for o in range(O):
+        for i in range(Ho):
+            for j in range(Wo):
+                patch = xp[:, :, i * stride:i * stride + kh,
+                           j * stride:j * stride + kw]
+                out[:, o, i, j] = np.sum(patch * w[o], axis=(1, 2, 3))
+    if b is not None:
+        out += b.reshape(1, -1, 1, 1)
+    return out
+
+
+def test_wire_roundtrip():
+    rng = np.random.RandomState(0)
+    w = rng.randn(4, 3, 3, 3).astype(np.float32)
+    nodes = [
+        make_node("Conv", ["x", "w"], ["c"], pads=[1, 1, 1, 1],
+                  strides=[1, 1], kernel_shape=[3, 3]),
+        make_node("Relu", ["c"], ["y"]),
+    ]
+    data = make_model(nodes, [("x", (1, 3, 16, 16))], [("y", (1, 4, 16, 16))],
+                      {"w": w}, graph_name="tiny")
+    g = parse_model(data)
+    assert g.name == "tiny"
+    assert [n.op for n in g.nodes] == ["Conv", "Relu"]
+    assert g.nodes[0].attrs["pads"] == [1, 1, 1, 1]
+    np.testing.assert_array_equal(g.initializers["w"], w)
+    assert g.inputs == [("x", [1, 3, 16, 16])]
+    assert g.outputs[0][0] == "y"
+
+
+def test_tensor_dtypes_roundtrip():
+    for arr in (np.arange(6, dtype=np.int64).reshape(2, 3),
+                np.arange(4, dtype=np.float32),
+                np.asarray([True, False]),
+                np.arange(3, dtype=np.int32)):
+        data = make_model(
+            [make_node("Identity", ["t"], ["y"])],
+            [], [("y", arr.shape)], {"t": arr})
+        g = parse_model(data)
+        np.testing.assert_array_equal(g.initializers["t"], arr)
+        assert g.initializers["t"].dtype == arr.dtype
+
+
+def test_conv_bn_relu_pool_network_matches_numpy():
+    rng = np.random.RandomState(1)
+    x = rng.rand(1, 3, 20, 24).astype(np.float32)
+    w = (rng.randn(8, 3, 3, 3) * 0.2).astype(np.float32)
+    b = rng.randn(8).astype(np.float32)
+    scale = rng.rand(8).astype(np.float32) + 0.5
+    bias = rng.randn(8).astype(np.float32)
+    mean = rng.randn(8).astype(np.float32) * 0.1
+    var = rng.rand(8).astype(np.float32) + 0.5
+
+    nodes = [
+        make_node("Conv", ["x", "w", "b"], ["c"], pads=[1, 1, 1, 1],
+                  kernel_shape=[3, 3]),
+        make_node("BatchNormalization",
+                  ["c", "scale", "bias", "mean", "var"], ["n"],
+                  epsilon=1e-5),
+        make_node("Relu", ["n"], ["r"]),
+        make_node("MaxPool", ["r"], ["p"], kernel_shape=[2, 2],
+                  strides=[2, 2]),
+    ]
+    data = make_model(
+        nodes, [("x", x.shape)], [("p", (1, 8, 10, 12))],
+        {"w": w, "b": b, "scale": scale, "bias": bias,
+         "mean": mean, "var": var})
+
+    net = OnnxModel(data)
+    out = np.asarray(net(x))
+
+    ref = _conv2d_ref(x, w, b, pad=1)
+    ref = (ref - mean.reshape(1, -1, 1, 1)) / np.sqrt(
+        var.reshape(1, -1, 1, 1) + 1e-5)
+    ref = ref * scale.reshape(1, -1, 1, 1) + bias.reshape(1, -1, 1, 1)
+    ref = np.maximum(ref, 0)
+    ref = ref.reshape(1, 8, 10, 2, 12, 2).max(axis=(3, 5))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_gemm_softmax_matches_numpy():
+    rng = np.random.RandomState(2)
+    x = rng.rand(5, 7).astype(np.float32)
+    w = rng.randn(7, 3).astype(np.float32)
+    b = rng.randn(3).astype(np.float32)
+    nodes = [
+        make_node("Gemm", ["x", "w", "b"], ["g"], alpha=1.0, beta=1.0),
+        make_node("Softmax", ["g"], ["y"], axis=1),
+    ]
+    data = make_model(nodes, [("x", x.shape)], [("y", (5, 3))],
+                      {"w": w, "b": b})
+    out = np.asarray(OnnxModel(data)(x))
+    z = x @ w + b
+    e = np.exp(z - z.max(1, keepdims=True))
+    np.testing.assert_allclose(out, e / e.sum(1, keepdims=True), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_shape_ops_and_resize():
+    rng = np.random.RandomState(3)
+    x = rng.rand(1, 2, 8, 6).astype(np.float32)
+    # upsample 2x nearest, then transpose / reshape round trip
+    nodes = [
+        make_node("Resize", ["x", "", "scales"], ["u"], mode="nearest"),
+        make_node("Transpose", ["u"], ["t"], perm=[0, 2, 3, 1]),
+        make_node("Reshape", ["t", "shp"], ["y"]),
+    ]
+    data = make_model(
+        nodes, [("x", x.shape)], [("y", (16 * 12, 2))],
+        {"scales": np.asarray([1.0, 1.0, 2.0, 2.0], np.float32),
+         "shp": np.asarray([-1, 2], np.int64)})
+    out = np.asarray(OnnxModel(data)(x))
+    up = x.repeat(2, axis=2).repeat(2, axis=3)
+    ref = np.transpose(up, (0, 2, 3, 1)).reshape(-1, 2)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_segmentation_harness_runs_real_onnx_file(tmp_path):
+    """End-to-end: author a real .onnx 'blueness' net, run it through
+    segmentation.onnx_model (native fallback) + segment_tiled."""
+    from alicevision_tpu.misc.segmentation import onnx_model, segment_tiled
+
+    # y = clip(b - max(r, g) + 0.5, 0, 1): 1x1 convs + elementwise
+    w_b = np.zeros((1, 3, 1, 1), np.float32)
+    w_b[0, 2] = 1.0
+    w_r = np.zeros((1, 3, 1, 1), np.float32)
+    w_r[0, 0] = 1.0
+    w_g = np.zeros((1, 3, 1, 1), np.float32)
+    w_g[0, 1] = 1.0
+    nodes = [
+        make_node("Conv", ["x", "w_b"], ["b"], kernel_shape=[1, 1]),
+        make_node("Conv", ["x", "w_r"], ["r"], kernel_shape=[1, 1]),
+        make_node("Conv", ["x", "w_g"], ["g"], kernel_shape=[1, 1]),
+        make_node("Sub", ["b", "r"], ["br"]),
+        make_node("Sub", ["b", "g"], ["bg"]),
+        make_node("Add", ["br", "bg"], ["s2"]),
+        make_node("Mul", ["s2", "half"], ["savg"]),
+        make_node("Add", ["savg", "half3"], ["shift"]),
+        make_node("Clip", ["shift", "zero", "one"], ["y"]),
+    ]
+    data = make_model(
+        nodes, [("x", (1, 3, 128, 128))], [("y", (1, 1, 128, 128))],
+        {"w_b": w_b, "w_r": w_r, "w_g": w_g,
+         "half": np.asarray(0.5, np.float32),
+         "half3": np.asarray(0.5, np.float32),
+         "zero": np.asarray(0.0, np.float32),
+         "one": np.asarray(1.0, np.float32)})
+    path = str(tmp_path / "blueness.onnx")
+    open(path, "wb").write(data)
+
+    g = load_model(path)
+    assert len(g.nodes) == 9
+
+    run = onnx_model(path)  # no onnxruntime in image -> native executor
+    rng = np.random.RandomState(0)
+    img = rng.rand(200, 260, 3).astype(np.float32)
+    img[:80] = [0.2, 0.3, 0.9]
+    out = segment_tiled(img, run, tile=128, overlap=16)
+    assert out.shape == (200, 260)
+    assert out[:70].mean() > 0.9
+    # exactness away from tile seams (pure per-pixel model)
+    direct = np.clip(
+        (img[..., 2] - img[..., 0] + img[..., 2] - img[..., 1]) * 0.5 + 0.5,
+        0, 1)
+    np.testing.assert_allclose(out[:60, :60], direct[:60, :60], atol=1e-5)
+
+
+def test_sphere_detection_native_onnx(tmp_path):
+    """detect_sphere_onnx through the native executor on an authored
+    model scoring blue discs."""
+    from alicevision_tpu.misc.sphere_detection import detect_sphere_onnx
+
+    w = np.zeros((1, 3, 1, 1), np.float32)
+    w[0, 2] = 1.0
+    w[0, 0] = -1.0
+    nodes = [
+        make_node("Conv", ["x", "w"], ["d"], kernel_shape=[1, 1]),
+        make_node("Sigmoid", ["d"], ["y"]),
+    ]
+    data = make_model(nodes, [("x", (1, 3, 160, 160))],
+                      [("y", (1, 1, 160, 160))], {"w": w})
+    path = str(tmp_path / "sphere.onnx")
+    open(path, "wb").write(data)
+
+    img = np.zeros((160, 160, 3), np.float32)
+    yy, xx = np.mgrid[0:160, 0:160]
+    inside = (yy - 80) ** 2 + (xx - 90) ** 2 < 30**2
+    img[inside] = [0.05, 0.2, 0.95]
+    det = detect_sphere_onnx(img, path, threshold=0.6)
+    assert det is not None
+    cx, cy, r = det
+    assert abs(cx - 90) < 6 and abs(cy - 80) < 6
+    assert abs(r - 30) < 8
+
+
+def test_unsupported_op_raises():
+    data = make_model([make_node("NonexistentOp", ["x"], ["y"])],
+                      [("x", (2, 2))], [("y", (2, 2))])
+    with pytest.raises(NotImplementedError, match="NonexistentOp"):
+        OnnxModel(data)(np.zeros((2, 2), np.float32))

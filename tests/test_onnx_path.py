@@ -87,12 +87,27 @@ def test_sphere_detection_onnx_path(mocked_ort, tmp_path):
     assert abs(r - 30) < 8
 
 
-def test_onnx_model_raises_cleanly_without_ort(monkeypatch):
+def test_onnx_model_native_fallback_without_ort(monkeypatch, tmp_path):
+    """Without onnxruntime the wrapper now falls back to the built-in
+    native executor (utils/onnx_rt.py) and still runs real .onnx files;
+    a missing file fails loudly."""
     monkeypatch.setitem(sys.modules, "onnxruntime", None)
     from alicevision_tpu.misc.segmentation import onnx_model
+    from alicevision_tpu.utils.onnx_rt import make_model, make_node
 
-    with pytest.raises(ImportError, match="onnxruntime"):
-        onnx_model("/nonexistent.onnx")
+    with pytest.raises(FileNotFoundError):
+        onnx_model(str(tmp_path / "nonexistent.onnx"))
+
+    w = np.zeros((1, 3, 1, 1), np.float32)
+    w[0, 2] = 1.0  # y = blue channel
+    data = make_model(
+        [make_node("Conv", ["x", "w"], ["y"], kernel_shape=[1, 1])],
+        [("x", (1, 3, 32, 32))], [("y", (1, 1, 32, 32))], {"w": w})
+    path = str(tmp_path / "blue.onnx")
+    open(path, "wb").write(data)
+    run = onnx_model(path)
+    img = np.random.RandomState(0).rand(32, 32, 3).astype(np.float32)
+    np.testing.assert_allclose(run(img), img[..., 2:], atol=1e-6)
 
 
 def test_real_onnxruntime_if_present(tmp_path):
