@@ -230,3 +230,74 @@ def test_unsupported_op_raises():
                       [("x", (2, 2))], [("y", (2, 2))])
     with pytest.raises(NotImplementedError, match="NonexistentOp"):
         OnnxModel(data)(np.zeros((2, 2), np.float32))
+
+
+def test_convtranspose_matches_numpy():
+    rng = np.random.RandomState(4)
+    x = rng.rand(1, 2, 5, 6).astype(np.float32)
+    w = (rng.randn(2, 3, 2, 2) * 0.3).astype(np.float32)  # (Cin, Cout, kh, kw)
+    nodes = [make_node("ConvTranspose", ["x", "w"], ["y"],
+                       kernel_shape=[2, 2], strides=[2, 2])]
+    data = make_model(nodes, [("x", x.shape)], [("y", (1, 3, 10, 12))],
+                      {"w": w})
+    out = np.asarray(OnnxModel(data)(x))
+    # oracle: scatter each input pixel's contribution
+    ref = np.zeros((1, 3, 10, 12), np.float32)
+    for ci in range(2):
+        for i in range(5):
+            for j in range(6):
+                ref[0, :, 2*i:2*i+2, 2*j:2*j+2] += x[0, ci, i, j] * w[ci]
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_avgpool_resize_linear_and_reduce():
+    rng = np.random.RandomState(5)
+    x = rng.rand(1, 2, 8, 8).astype(np.float32)
+    nodes = [
+        make_node("AveragePool", ["x"], ["p"], kernel_shape=[2, 2],
+                  strides=[2, 2]),
+        make_node("Resize", ["p", "", "scales"], ["u"], mode="linear"),
+        make_node("ReduceMean", ["u"], ["y"], axes=[2, 3], keepdims=0),
+    ]
+    data = make_model(
+        nodes, [("x", x.shape)], [("y", (1, 2))],
+        {"scales": np.asarray([1.0, 1.0, 2.0, 2.0], np.float32)})
+    out = np.asarray(OnnxModel(data)(x))
+    pooled = x.reshape(1, 2, 4, 2, 4, 2).mean(axis=(3, 5))
+    # bilinear resize preserves the mean up to boundary effects; compare
+    # against the pooled mean with a loose tolerance
+    np.testing.assert_allclose(out, pooled.mean(axis=(2, 3)), atol=0.02)
+    assert out.shape == (1, 2)
+
+
+def test_slice_gather_cast_argmax():
+    x = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
+    nodes = [
+        make_node("Slice", ["x", "st", "en", "ax"], ["s"]),
+        make_node("Cast", ["s"], ["c"], to=7),  # int64
+        make_node("ArgMax", ["c"], ["y"], axis=2, keepdims=0),
+    ]
+    data = make_model(
+        nodes, [("x", x.shape)], [("y", (2, 2))],
+        {"st": np.asarray([1], np.int64), "en": np.asarray([3], np.int64),
+         "ax": np.asarray([1], np.int64)})
+    out = np.asarray(OnnxModel(data)(x))
+    np.testing.assert_array_equal(out, np.argmax(x[:, 1:3], axis=2))
+
+
+def test_global_avgpool_and_flatten_gemm_head():
+    """Classifier-style tail: GlobalAveragePool -> Flatten -> Gemm."""
+    rng = np.random.RandomState(6)
+    x = rng.rand(2, 4, 6, 6).astype(np.float32)
+    w = rng.randn(4, 3).astype(np.float32)
+    b = rng.randn(3).astype(np.float32)
+    nodes = [
+        make_node("GlobalAveragePool", ["x"], ["g"]),
+        make_node("Flatten", ["g"], ["f"], axis=1),
+        make_node("Gemm", ["f", "w", "b"], ["y"]),
+    ]
+    data = make_model(nodes, [("x", x.shape)], [("y", (2, 3))],
+                      {"w": w, "b": b})
+    out = np.asarray(OnnxModel(data)(x))
+    ref = x.mean(axis=(2, 3)) @ w + b
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
