@@ -625,6 +625,4 @@ class OnnxModel:
             for name, val in zip(nd.outputs, outs):
                 env[name] = val
 
-        import jax.numpy as jnp  # noqa: F811 - reassert for return
-
         return tuple(jnp.asarray(env[n]) for n in self.output_names)

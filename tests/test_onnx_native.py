@@ -17,7 +17,6 @@ from alicevision_tpu.utils.onnx_rt import (
     load_model,
     make_model,
     make_node,
-    make_tensor,
     parse_model,
 )
 
