@@ -367,6 +367,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True, help="mask png")
     p.add_argument("--threshold", type=float, default=0.35)
+    p.add_argument("--modelPath", default=None,
+                   help=".onnx segmentation model (runs through "
+                        "onnxruntime when importable, else the built-in "
+                        "native executor); default: classical sky scorer")
     _add_common(p)
 
     p = sub.add_parser("keyframeSelection")
@@ -944,12 +948,22 @@ def _dispatch_inner(args) -> int:
         import numpy as np
 
         from ..image.io import read_image, write_image
-        from ..misc.segmentation import segment_sky
+        from ..misc.segmentation import onnx_model, segment_sky, segment_tiled
 
         img = read_image(args.input)
         if img.ndim == 2:
             img = np.stack([img] * 3, -1)
-        mask = segment_sky(img, threshold=args.threshold)
+        if args.modelPath:
+            # ref: src/software/pipeline/main_imageSegmentation.cpp
+            # modelPath -> ORT session -> tiled inference; here the session
+            # is onnxruntime when importable, else utils/onnx_rt.py
+            run = onnx_model(args.modelPath)
+            score = segment_tiled(img[..., :3], run)
+            if score.ndim == 3:  # multi-class scores: foreground = class 0
+                score = score[..., 0]
+            mask = score > args.threshold
+        else:
+            mask = segment_sky(img, threshold=args.threshold)
         write_image(args.output, mask.astype(np.float32))
     elif args.cmd == "keyframeSelection":
         import numpy as np

@@ -300,3 +300,30 @@ def test_global_avgpool_and_flatten_gemm_head():
     out = np.asarray(OnnxModel(data)(x))
     ref = x.mean(axis=(2, 3)) @ w + b
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_cli_image_segmentation_with_model(tmp_path):
+    """imageSegmentation --modelPath runs a real .onnx file through the
+    native executor (ref: src/software/pipeline/main_imageSegmentation.cpp
+    modelPath -> session -> tiled inference -> mask)."""
+    from alicevision_tpu.pipeline.cli import main
+
+    w = np.zeros((1, 3, 1, 1), np.float32)
+    w[0, 2] = 1.0  # blueness score
+    data = make_model(
+        [make_node("Conv", ["x", "w"], ["y"], kernel_shape=[1, 1])],
+        [("x", (1, 3, 64, 64))], [("y", (1, 1, 64, 64))], {"w": w})
+    model = str(tmp_path / "seg.onnx")
+    open(model, "wb").write(data)
+
+    img = np.zeros((100, 120, 3), np.float32)
+    img[:40] = [0.1, 0.2, 0.9]  # blue sky band
+    img[40:] = [0.4, 0.5, 0.1]
+    src = str(tmp_path / "img.npy")
+    np.save(src, img)
+    out = str(tmp_path / "mask.npy")
+    assert main(["imageSegmentation", "--input", src, "--output", out,
+                 "--modelPath", model, "--threshold", "0.5"]) == 0
+    mask = np.load(out)
+    assert mask.shape == (100, 120)
+    assert mask[:35].mean() > 0.95 and mask[50:].mean() < 0.05
