@@ -94,6 +94,61 @@ def camera_init(
 # featureExtraction
 # ---------------------------------------------------------------------------
 
+# Module-level jit cache keyed by (family, config): a jit built on a
+# closure defined INSIDE feature_extraction is a fresh Python function per
+# stage invocation, so every call re-traced and re-compiled the SIFT
+# program (~90 s without the persistent compile cache; executable re-load
+# even with it). Shared across calls, the executable is traced and loaded
+# ONCE per (config, batch shape) — same pattern as sharded._tile_sgm_jit.
+_EXTRACT_JIT: dict = {}
+
+
+def _sift_extract_packed(cfg):
+    key = ("sift-packed", cfg)
+    if key not in _EXTRACT_JIT:
+        import jax
+        import jax.numpy as jnp
+
+        from ..features import sift
+
+        def one(im):
+            f = sift.extract(im, cfg)
+            # quantize ON-CHIP (x512, clip, uint8 — the reference's
+            # on-disk descriptor type, feature/Descriptor.hpp unsigned
+            # char): the chip->host descriptor fetch was the biggest e2e
+            # slice at f32 (16 MB/batch); uint8 moves 4x less. Then pack
+            # EVERYTHING into one uint8 array: each chip->host fetch
+            # through the axon relay pays a fixed per-array round trip,
+            # so fetching 6 small leaves cost ~6 s/batch — the whole
+            # featureExtraction stage wall. Bitcast the f32 metadata to
+            # bytes and ride along with the descriptors: ONE fetch.
+            desc_u8 = jnp.clip(f.desc * 512.0, 0.0, 255.0).astype(
+                jnp.uint8)
+            meta = jnp.stack(
+                [f.xy[:, 0], f.xy[:, 1], f.scale, f.orientation,
+                 f.response, f.valid.astype(jnp.float32)], axis=-1
+            )  # (N, 6) f32
+            meta_u8 = jax.lax.bitcast_convert_type(
+                meta, jnp.uint8
+            ).reshape(meta.shape[0], 24)
+            return jnp.concatenate([meta_u8, desc_u8], axis=-1)
+
+        _EXTRACT_JIT[key] = jax.jit(jax.vmap(one))
+    return _EXTRACT_JIT[key]
+
+
+def _akaze_extract_batch(acfg):
+    key = ("akaze", acfg)
+    if key not in _EXTRACT_JIT:
+        import jax
+
+        from ..features import akaze
+
+        _EXTRACT_JIT[key] = jax.jit(
+            jax.vmap(lambda im: akaze.extract(im, acfg))
+        )
+    return _EXTRACT_JIT[key]
+
 
 def feature_extraction(
     input_sfm: str,
@@ -126,29 +181,24 @@ def feature_extraction(
     # default describer, ImageDescriber_DSPSIFT_vlfeat.hpp)
     dsp = dsp or ("dspsift" in types)
 
-    def extract_one(im):
-        if "sift" in types or "dspsift" in types:
-            cfg = sift.SiftConfig(max_keypoints=max_keypoints, dsp=dsp, n_octaves=4)
-            f = sift.extract(im, cfg)
-            # quantize ON-CHIP (x512, clip, uint8 — the reference's on-disk
-            # descriptor type, feature/Descriptor.hpp unsigned char): the
-            # chip->host descriptor fetch was the biggest e2e slice at f32
-            # (16 MB/batch); uint8 moves 4x less. AKAZE msurf descriptors
-            # are signed floats and stay f32.
-            return f._replace(
-                desc=jnp.clip(f.desc * 512.0, 0.0, 255.0).astype(jnp.uint8)
-            )
-        if "akaze" in types or "akaze_mldb" in types:
-            from ..features import akaze
+    if "sift" in types or "dspsift" in types:
+        cfg = sift.SiftConfig(max_keypoints=max_keypoints, dsp=dsp,
+                              n_octaves=4)
+        extract_batch = _sift_extract_packed(cfg)
+        sift_packed = True
+    elif "akaze" in types or "akaze_mldb" in types:
+        # AKAZE msurf descriptors are signed floats and stay f32 (no
+        # uint8 packing)
+        from ..features import akaze
 
-            acfg = akaze.AkazeConfig(
-                max_keypoints=max_keypoints,
-                descriptor="mldb" if "akaze_mldb" in types else "msurf",
-            )
-            return akaze.extract(im, acfg)
-        return None
-
-    extract_batch = jax.jit(jax.vmap(extract_one))
+        acfg = akaze.AkazeConfig(
+            max_keypoints=max_keypoints,
+            descriptor="mldb" if "akaze_mldb" in types else "msurf",
+        )
+        extract_batch = _akaze_extract_batch(acfg)
+        sift_packed = False
+    else:
+        extract_batch, sift_packed = None, False
 
     # load pending views, record per-view rescale factors
     pending, imgs, scales = [], {}, {}
@@ -188,6 +238,28 @@ def feature_extraction(
                     + [imgs[chunk[0]]] * (B - len(chunk))
                 )
                 feats = extract_batch(jnp.asarray(stack))
+                if sift_packed:
+                    packed = np.asarray(feats)  # ONE relay fetch per batch
+                    meta = (
+                        packed[:, :, :24].copy().view(np.float32)
+                    )  # (B, N, 6): x, y, scale, orientation, response, valid
+                    for g, v in enumerate(chunk):
+                        np.savez_compressed(
+                            os.path.join(
+                                output_folder,
+                                f"{int(sc.view_ids[v])}.feat.npz",
+                            ),
+                            xy=meta[g, :, :2] / scales[v],
+                            scale=meta[g, :, 2] / scales[v],
+                            orientation=meta[g, :, 3],
+                            response=meta[g, :, 4],
+                            # uint8 stays uint8 on disk (4x smaller files,
+                            # matching the reference's unsigned-char
+                            # .desc); load_features dequantizes
+                            desc=packed[g, :, 24:],
+                            valid=meta[g, :, 5] > 0.5,
+                        )
+                    continue
                 feats_np = jax.tree_util.tree_map(np.asarray, feats)
                 for g, v in enumerate(chunk):
                     np.savez_compressed(
@@ -198,9 +270,6 @@ def feature_extraction(
                         scale=feats_np.scale[g] / scales[v],
                         orientation=feats_np.orientation[g],
                         response=feats_np.response[g],
-                        # uint8 stays uint8 on disk (4x smaller files,
-                        # matching the reference's unsigned-char .desc);
-                        # load_features dequantizes
                         desc=feats_np.desc[g],
                         valid=feats_np.valid[g],
                     )

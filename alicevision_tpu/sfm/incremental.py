@@ -262,7 +262,9 @@ class IncrementalSfM:
             x2[g, :n] = self.obs_norm[oj]
             valid[g, :n] = True
         keys = jax.random.split(self._next_key(), B)
-        R_b, c2_b, X_b, good_b, med_b, ngood_b = _init_pair_eval_batch(
+        # packed single-buffer fetch — six per-leaf fetches through the
+        # relay cost a fixed round trip each (see _ba_solve_fetch)
+        buf = np.asarray(_init_pair_eval_packed(
             keys,
             jnp.asarray(x1),
             jnp.asarray(x2),
@@ -271,11 +273,14 @@ class IncrementalSfM:
             self._im_wh,
             cfg.n_ransac_hyps,
             cfg.resection_max_error_px,
-        )
-        R_b, c2_b, X_b, good_b, med_b, ngood_b = (
-            np.asarray(R_b), np.asarray(c2_b), np.asarray(X_b),
-            np.asarray(good_b), np.asarray(med_b), np.asarray(ngood_b),
-        )
+        ))
+        N = cap
+        R_b = buf[:, :9].reshape(-1, 3, 3)
+        c2_b = buf[:, 9:12]
+        X_b = buf[:, 12:12 + 3 * N].reshape(-1, N, 3)
+        good_b = buf[:, 12 + 3 * N:12 + 4 * N] > 0.5
+        med_b = buf[:, -2]
+        ngood_b = buf[:, -1]
         out = []
         for g, (vi, vj, common, oi, oj) in enumerate(pair_data):
             n = len(common)
@@ -426,19 +431,20 @@ class IncrementalSfM:
                 obs[g, :n] = o
                 valid[g, :n] = True
             keys = jax.random.split(self._next_key(), B)
-            rp = robust.robust_resection_p3p_batch(
+            # one packed fetch per chunk (see _ba_solve_fetch)
+            buf = np.asarray(_resect_packed(
                 keys,
                 jnp.asarray(world),
                 jnp.asarray(obs),
                 jnp.float32(self._focal_mean),
                 self._im_wh,
                 jnp.asarray(valid),
-                n_hyps=cfg.n_ransac_hyps,
-                max_error_px=cfg.resection_max_error_px,
-            )
-            R_b, t_b, ninl_b = (
-                np.asarray(rp.R), np.asarray(rp.t), np.asarray(rp.n_inliers)
-            )
+                cfg.n_ransac_hyps,
+                cfg.resection_max_error_px,
+            ))
+            R_b = buf[:, :9].reshape(-1, 3, 3)
+            t_b = buf[:, 9:12]
+            ninl_b = buf[:, 12]
             for g, (v, _, _) in enumerate(chunk):
                 if int(ninl_b[g]) < cfg.min_track_inliers_resection:
                     continue
@@ -541,13 +547,21 @@ class IncrementalSfM:
         )
 
     def _make_problem(self, m, cam_fixed) -> ba_mod.BAProblem:
-        intr = jax.tree_util.tree_map(jnp.asarray, self.intr_np)
+        # dtype test on the HOST copies (intr_np): probing np.asarray(a)
+        # on already-uploaded device leaves cost one relay fetch per leaf
+        # per BA call (measured 1.2 s over a 6-image reconstruction)
         return ba_mod.BAProblem(
             cam_q=geo.mat_to_quat(jnp.asarray(self.res.pose_R, jnp.float32)),
             cam_c=jnp.asarray(self.res.pose_c, jnp.float32),
             points=jnp.asarray(self.res.points, jnp.float32),
-            intr=jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32)
-                                        if np.issubdtype(np.asarray(a).dtype, np.floating) else jnp.asarray(a), intr),
+            intr=jax.tree_util.tree_map(
+                lambda a: jnp.asarray(
+                    a, jnp.float32
+                    if np.issubdtype(np.asarray(a).dtype, np.floating)
+                    else None
+                ),
+                self.intr_np,
+            ),
             obs_cam=jnp.asarray(self.tbl_view),
             obs_intr=jnp.asarray(self.view_intrinsic[self.tbl_view]),
             obs_uv=jnp.asarray(self.obs_uv[self.tbl_obs], jnp.float32),
@@ -578,14 +592,15 @@ class IncrementalSfM:
             cam_fixed |= lba_fixed
 
         problem = self._make_problem(m, cam_fixed)
-        res = _ba_solve_jit(problem)
-        self.res.pose_R = np.asarray(geo.quat_to_mat(res.cam_q), np.float64)
-        self.res.pose_c = np.asarray(res.cam_c, np.float64)
-        new_pts = np.asarray(res.points, np.float64)
-        self.res.points = np.where(self.res.point_valid[:, None], new_pts, self.res.points)
-        self.res.history.append(
-            ("ba", float(res.cost_initial), float(res.cost_final), int(res.n_iters))
+        R, c, new_pts, cost0, cost1, iters = _ba_solve_fetch(
+            problem, self.n_views, self.T
         )
+        self.res.pose_R = R
+        self.res.pose_c = c
+        self.res.points = np.where(
+            self.res.point_valid[:, None], new_pts, self.res.points
+        )
+        self.res.history.append(("ba", cost0, cost1, iters))
 
     def remove_outliers(self):
         """Flag observations with reprojection error above the gate
@@ -637,7 +652,7 @@ class IncrementalSfM:
         # observable once the scene carries enough spatially-spread
         # observations — fitting k2/k3 to a small central cloud corrupts
         # edge undistortion (and thereby resection)
-        n_obs_live = int(np.asarray(problem.obs_mask).sum())
+        n_obs_live = int(m.sum())  # m is the HOST mask — no device fetch
         order = 1 if n_obs_live < 3000 else (2 if n_obs_live < 10000 else None)
         import alicevision_tpu.camera as _cam
 
@@ -646,8 +661,8 @@ class IncrementalSfM:
             # planes are REAL work — keep the parameter block structurally
             # small per phase (measured: the full-width masked block costs
             # ~4x the plane products on host)
-            res = _ba_solve_joint_structural_jit(
-                problem, n_posed >= 8, order
+            buf = _ba_solve_joint_structural_packed_impl(
+                problem, n_posed >= 8, order, _ba_loop_mode()
             )
         else:
             # relay backends: refine_pp / disto order are TRACED mask data,
@@ -659,13 +674,14 @@ class IncrementalSfM:
                 mask[2:4] = 0.0
             if order is not None:
                 mask[4 + order :] = 0.0
-            res = _ba_solve_joint_jit(problem, jnp.asarray(mask))
-        self.intr_np = jax.tree_util.tree_map(np.asarray, res.intr)
-        self.res.pose_R = np.asarray(
-            geo.quat_to_mat(res.cam_q), np.float64
+            buf = _ba_solve_joint_packed_impl(
+                problem, jnp.asarray(mask), _ba_loop_mode()
+            )
+        R, c, new_pts, self.intr_np = _unpack_joint(
+            buf, self.n_views, self.T, self.intr_np
         )
-        self.res.pose_c = np.asarray(res.cam_c, np.float64)
-        new_pts = np.asarray(res.points, np.float64)
+        self.res.pose_R = R
+        self.res.pose_c = c
         self.res.points = np.where(
             self.res.point_valid[:, None], new_pts, self.res.points
         )
@@ -816,6 +832,37 @@ class IncrementalSfM:
 
 
 @partial(jax.jit, static_argnames=("im_size", "n_hyps", "max_error_px"))
+def _init_pair_eval_packed(keys, x1, x2, valid, focal_mean, im_size, n_hyps,
+                           max_error_px):
+    """_init_pair_eval_batch with all six outputs flattened into ONE
+    (B, 12 + 4N + 2) f32 buffer — one device->host fetch per call."""
+    R, c2, X, good, med, ngood = _init_pair_eval_batch(
+        keys, x1, x2, valid, focal_mean, im_size, n_hyps, max_error_px
+    )
+    G = good.shape[0]
+    return jnp.concatenate([
+        R.reshape(G, 9), c2, X.reshape(G, -1), good.astype(jnp.float32),
+        med[:, None], ngood.astype(jnp.float32)[:, None],
+    ], axis=1)
+
+
+@partial(jax.jit, static_argnames=("im_size", "n_hyps", "max_error_px"))
+def _resect_packed(keys, world, obs, focal_mean, im_size, valid, n_hyps,
+                   max_error_px):
+    """robust_resection_p3p_batch with (R, t, n_inliers) flattened into
+    ONE (B, 13) f32 buffer — one device->host fetch per chunk."""
+    rp = robust.robust_resection_p3p_batch(
+        keys, world, obs, focal_mean, im_size, valid,
+        n_hyps=n_hyps, max_error_px=max_error_px,
+    )
+    G = rp.t.shape[0]
+    return jnp.concatenate([
+        rp.R.reshape(G, 9), rp.t,
+        rp.n_inliers.astype(jnp.float32)[:, None],
+    ], axis=1)
+
+
+@partial(jax.jit, static_argnames=("im_size", "n_hyps", "max_error_px"))
 def _init_pair_eval_batch(keys, x1, x2, valid, focal_mean, im_size, n_hyps,
                           max_error_px):
     """One dispatch for all initial-pair candidates: robust relative pose,
@@ -930,6 +977,95 @@ def _ba_solve_jit_impl(problem, loop):
 
 def _ba_solve_jit(problem):
     return _ba_solve_jit_impl(problem, _ba_loop_mode())
+
+
+# Packed-result solves: every np.asarray of a device array pays one fixed
+# relay round trip, so fetching a BA result leaf-by-leaf (R, c, points,
+# 3 scalars) cost ~6 round trips PER BA CALL — a large share of the
+# incremental loop's wall on the relay-attached chip. The solve and the
+# flattening compile as ONE program whose single f32 buffer is fetched
+# once; the host unpacks by the statically-known (C, T[, I]) sizes.
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _ba_solve_packed_impl(problem, loop):
+    res = ba_mod.ba_solve(problem, max_iters=25, loop=loop)
+    return jnp.concatenate([
+        geo.quat_to_mat(res.cam_q).reshape(-1),
+        res.cam_c.reshape(-1),
+        res.points.reshape(-1),
+        jnp.stack([res.cost_initial, res.cost_final,
+                   res.n_iters.astype(res.cam_c.dtype)]),
+    ]).astype(jnp.float32)
+
+
+def _ba_solve_fetch(problem, C, T):
+    """Run the plain BA and fetch (R, c, points, cost0, cost1, iters) in
+    one transfer."""
+    buf = np.asarray(_ba_solve_packed_impl(problem, _ba_loop_mode()),
+                     np.float64)
+    i = 9 * C
+    R = buf[:i].reshape(C, 3, 3)
+    c = buf[i:i + 3 * C].reshape(C, 3)
+    i += 3 * C
+    pts = buf[i:i + 3 * T].reshape(T, 3)
+    i += 3 * T
+    return R, c, pts, float(buf[i]), float(buf[i + 1]), int(buf[i + 2])
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _ba_solve_joint_packed_impl(problem, param_mask, loop):
+    res = ba_mod.ba_solve_joint(
+        problem, max_iters=15, param_mask=param_mask, loop=loop,
+    )
+    return jnp.concatenate([
+        geo.quat_to_mat(res.cam_q).reshape(-1),
+        res.cam_c.reshape(-1),
+        res.points.reshape(-1),
+        res.intr.scale.reshape(-1),
+        res.intr.offset.reshape(-1),
+        res.intr.disto.reshape(-1),
+    ]).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _ba_solve_joint_structural_packed_impl(problem, refine_pp,
+                                           disto_max_order, loop):
+    res = ba_mod.ba_solve_joint(
+        problem, max_iters=15, refine_pp=refine_pp,
+        disto_max_order=disto_max_order, loop=loop,
+    )
+    return jnp.concatenate([
+        geo.quat_to_mat(res.cam_q).reshape(-1),
+        res.cam_c.reshape(-1),
+        res.points.reshape(-1),
+        res.intr.scale.reshape(-1),
+        res.intr.offset.reshape(-1),
+        res.intr.disto.reshape(-1),
+    ]).astype(jnp.float32)
+
+
+def _unpack_joint(buf, C, T, intr_np):
+    """Split the packed joint-BA buffer; int intrinsic leaves (kinds,
+    size) are not refined and keep their host copies."""
+    buf = np.asarray(buf, np.float64)
+    i = 9 * C
+    R = buf[:i].reshape(C, 3, 3)
+    c = buf[i:i + 3 * C].reshape(C, 3)
+    i += 3 * C
+    pts = buf[i:i + 3 * T].reshape(T, 3)
+    i += 3 * T
+    nI = np.atleast_1d(intr_np.cam_kind).shape[0]
+    scale = buf[i:i + 2 * nI].reshape(
+        np.asarray(intr_np.scale).shape).astype(np.float32)
+    i += 2 * nI
+    offset = buf[i:i + 2 * nI].reshape(
+        np.asarray(intr_np.offset).shape).astype(np.float32)
+    i += 2 * nI
+    disto = buf[i:].reshape(
+        np.asarray(intr_np.disto).shape).astype(np.float32)
+    new_intr = intr_np._replace(scale=scale, offset=offset, disto=disto)
+    return R, c, pts, new_intr
 
 
 @partial(jax.jit, static_argnums=(2,))
