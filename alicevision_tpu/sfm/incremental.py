@@ -970,15 +970,6 @@ def _ba_loop_mode() -> str:
     return "while" if backend in ("cpu", "gpu", "tpu", "cuda", "rocm") else "unrolled"
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _ba_solve_jit_impl(problem, loop):
-    return ba_mod.ba_solve(problem, max_iters=25, loop=loop)
-
-
-def _ba_solve_jit(problem):
-    return _ba_solve_jit_impl(problem, _ba_loop_mode())
-
-
 # Packed-result solves: every np.asarray of a device array pays one fixed
 # relay round trip, so fetching a BA result leaf-by-leaf (R, c, points,
 # 3 scalars) cost ~6 round trips PER BA CALL — a large share of the
@@ -1068,26 +1059,4 @@ def _unpack_joint(buf, C, T, intr_np):
     return R, c, pts, new_intr
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _ba_solve_joint_jit_impl(problem, param_mask, loop):
-    return ba_mod.ba_solve_joint(
-        problem, max_iters=15, param_mask=param_mask, loop=loop,
-    )
 
-
-def _ba_solve_joint_jit(problem, param_mask):
-    return _ba_solve_joint_jit_impl(problem, param_mask, _ba_loop_mode())
-
-
-@partial(jax.jit, static_argnums=(1, 2, 3))
-def _ba_solve_joint_structural_impl(problem, refine_pp, disto_max_order, loop):
-    return ba_mod.ba_solve_joint(
-        problem, max_iters=15, refine_pp=refine_pp,
-        disto_max_order=disto_max_order, loop=loop,
-    )
-
-
-def _ba_solve_joint_structural_jit(problem, refine_pp, disto_max_order):
-    return _ba_solve_joint_structural_impl(
-        problem, refine_pp, disto_max_order, _ba_loop_mode()
-    )
